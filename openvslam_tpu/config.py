@@ -1,0 +1,131 @@
+"""YAML configuration, schema-compatible with the reference (ref ``config.h/.cc``).
+
+The reference parses a nested YAML with ``Camera:``, ``Feature:``, and
+optional ``Mapping:``/``Tracking:``/``LoopDetector:``/``StereoRectifier:``
+sections (SURVEY.md §2.1 Config row, §5.6).  We accept both the nested form
+and dotted-flat keys (``Camera.fx: ...``) so reference configs run unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import yaml
+
+from .camera.base import make_camera_from_config
+from .types import Limits
+
+
+def _unflatten(d: Dict[str, Any]) -> Dict[str, Any]:
+    """Turn {'Camera.fx': v} into {'Camera': {'fx': v}} (merging with nested)."""
+    out: Dict[str, Any] = {}
+    for k, v in d.items():
+        if "." in k:
+            head, rest = k.split(".", 1)
+            out.setdefault(head, {})
+            if isinstance(out[head], dict):
+                out[head][rest] = v
+        else:
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k].update(v)
+            else:
+                out[k] = v
+    # one more pass for nested dotted keys
+    for k, v in list(out.items()):
+        if isinstance(v, dict) and any("." in kk for kk in v):
+            out[k] = _unflatten(v)
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    max_num_keypts: int = 2000
+    scale_factor: float = 1.2
+    num_levels: int = 8
+    ini_fast_threshold: int = 20
+    min_fast_threshold: int = 7
+    # rectangular mask zones: list of [y0, y1, x0, x1] ratios (reference schema)
+    mask_rectangles: tuple = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    reloc_distance_threshold: float = 0.2
+    reloc_angle_threshold: float = 0.45
+    enable_auto_relocalization: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    baseline_dist_thr_ratio: float = 0.02
+    redundant_obs_ratio_thr: float = 0.9
+    num_covisibilities_for_landmark_generation: int = 10
+    num_covisibilities_for_landmark_fusion: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    enabled: bool = True
+    min_continuity: int = 3
+    min_num_bow_matches: int = 20
+    min_num_valid_obs: int = 40  # inlier gate after Sim3 optimize
+    top_n_covisibilities_to_search: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    camera: Any
+    feature: FeatureConfig
+    tracking: TrackingConfig
+    mapping: MappingConfig
+    loop: LoopConfig
+    limits: Limits
+    depthmap_factor: float
+    raw: Dict[str, Any]
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "Config":
+        d = _unflatten(dict(raw))
+        cam_cfg = d.get("Camera", {})
+        camera = make_camera_from_config(cam_cfg)
+
+        feat = d.get("Feature", {})
+        feature = FeatureConfig(
+            max_num_keypts=int(feat.get("max_num_keypts", 2000)),
+            scale_factor=float(feat.get("scale_factor", 1.2)),
+            num_levels=int(feat.get("num_levels", 8)),
+            ini_fast_threshold=int(feat.get("ini_fast_threshold", 20)),
+            min_fast_threshold=int(feat.get("min_fast_threshold", 7)),
+            mask_rectangles=tuple(tuple(r) for r in feat.get("mask_rectangles", [])),
+        )
+        trk = d.get("Tracking", {})
+        tracking = TrackingConfig(
+            reloc_distance_threshold=float(trk.get("reloc_distance_threshold", 0.2)),
+            reloc_angle_threshold=float(trk.get("reloc_angle_threshold", 0.45)),
+            enable_auto_relocalization=bool(trk.get("enable_auto_relocalization", True)),
+        )
+        mp = d.get("Mapping", {})
+        mapping = MappingConfig(
+            baseline_dist_thr_ratio=float(mp.get("baseline_dist_thr_ratio", 0.02)),
+            redundant_obs_ratio_thr=float(mp.get("redundant_obs_ratio_thr", 0.9)),
+        )
+        lp = d.get("LoopDetector", {})
+        loop = LoopConfig(
+            enabled=bool(lp.get("enabled", True)),
+            min_continuity=int(lp.get("min_continuity", 3)),
+        )
+        # capacity planning: round keypoint capacity up to a lane multiple
+        mk = max(256, ((feature.max_num_keypts * 2 + 255) // 256) * 256)
+        limits = Limits(
+            max_keypts=mk,
+            num_levels=feature.num_levels,
+            scale_factor=feature.scale_factor,
+        )
+        depthmap_factor = float(cam_cfg.get("depthmap_factor", 1.0))
+        return cls(camera, feature, tracking, mapping, loop, limits, depthmap_factor, d)

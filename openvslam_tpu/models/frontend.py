@@ -1,0 +1,110 @@
+"""ORB front-end: one jitted program per image geometry (ref ``feature/orb_extractor``).
+
+The reference extracts per level with OpenCV parallel_for and merges
+std::vectors (SURVEY.md §3.2 HOT-1).  Here the whole extraction is a single
+XLA program with static level shapes: the host passes one (H,W) u8 image and
+receives a fixed-capacity keypoint structure-of-arrays:
+
+    xy        (K,2) f32   keypoint position at level-0 scale
+    response  (K,)  f32
+    level     (K,)  i32
+    angle     (K,)  f32
+    desc_u32  (K,8) u32   packed rBRIEF
+    desc_i8   (K,256) i8  unpacked bits (MXU matching operand)
+    valid     (K,)  bool
+
+Keypoint budget per level follows the reference's geometric allocation
+(num_pts * (1-f)/(1-f^L) * f^l with f = 1/scale).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import fast, orb, pyramid
+
+
+class Keypoints(NamedTuple):
+    xy: jnp.ndarray
+    response: jnp.ndarray
+    level: jnp.ndarray
+    angle: jnp.ndarray
+    desc_u32: jnp.ndarray
+    desc_i8: jnp.ndarray
+    valid: jnp.ndarray
+
+    @property
+    def capacity(self):
+        return self.xy.shape[0]
+
+
+def level_budgets(max_keypts: int, num_levels: int, scale: float):
+    f = 1.0 / scale
+    total = (1 - f**num_levels) / (1 - f)
+    raw = [max_keypts * (1 - f) / (1 - f**num_levels) * f**l for l in range(num_levels)]
+    budget = [max(16, int(round(v))) for v in raw]
+    # round each level budget up to a multiple of 8 for friendlier layouts
+    budget = [((b + 7) // 8) * 8 for b in budget]
+    del total
+    return budget
+
+
+class OrbFrontend:
+    """Configured extractor; `extract` is jitted per (rows, cols) geometry."""
+
+    def __init__(self, rows: int, cols: int, max_keypts: int = 2048,
+                 num_levels: int = 8, scale_factor: float = 1.2,
+                 ini_fast_thr: float = 20.0, min_fast_thr: float = 7.0,
+                 cell: int = 32):
+        self.rows, self.cols = rows, cols
+        self.num_levels = num_levels
+        self.scale_factor = scale_factor
+        self.ini_fast_thr = ini_fast_thr
+        self.min_fast_thr = min_fast_thr
+        self.cell = cell
+        self.budgets = level_budgets(max_keypts, num_levels, scale_factor)
+        self.capacity = sum(self.budgets)
+        self.scales = pyramid.scale_factors(num_levels, scale_factor)
+        self._extract = jax.jit(self._extract_impl)
+
+    def extract(self, image_u8: jnp.ndarray, mask: jnp.ndarray | None = None) -> Keypoints:
+        if mask is None:
+            mask = jnp.ones((), jnp.float32)  # sentinel: no mask
+            return self._extract(image_u8, None)
+        return self._extract(image_u8, mask)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _extract_impl(self, image_u8, mask):
+        img = image_u8.astype(jnp.float32)
+        levels = pyramid.build_pyramid(img, self.num_levels, self.scale_factor)
+        xs, rs, ls, ans, descs, vs = [], [], [], [], [], []
+        for l, (lvl_img, budget) in enumerate(zip(levels, self.budgets)):
+            lvl_mask = None
+            if mask is not None:
+                lvl_mask = jax.image.resize(mask, lvl_img.shape, method="nearest")
+            xy, resp, valid = fast.detect_level(
+                lvl_img, self.ini_fast_thr, self.min_fast_thr, budget,
+                cell=self.cell, mask=lvl_mask,
+            )
+            ang = orb.ic_angles(lvl_img, xy)
+            blurred = pyramid.gaussian_blur(lvl_img)
+            d_u32 = orb.brief_descriptors(blurred, xy, ang)
+            xs.append(xy * self.scales[l])
+            rs.append(resp)
+            ls.append(jnp.full(budget, l, jnp.int32))
+            ans.append(ang)
+            descs.append(d_u32)
+            vs.append(valid)
+        xy = jnp.concatenate(xs, 0)
+        resp = jnp.concatenate(rs, 0)
+        lvl = jnp.concatenate(ls, 0)
+        ang = jnp.concatenate(ans, 0)
+        d32 = jnp.concatenate(descs, 0)
+        valid = jnp.concatenate(vs, 0)
+        d8 = orb.unpack_bits_i8(d32)
+        # zero out invalid descriptors so matmuls can't produce spurious hits
+        d8 = jnp.where(valid[:, None], d8, 0)
+        return Keypoints(xy, resp, lvl, ang, d32, d8, valid)

@@ -1,0 +1,134 @@
+"""Descriptor matching as MXU matmuls (ref ``match/*``; SURVEY.md §2.1 Matchers).
+
+The reference's matchers are all "Hamming distance + some candidate gating"
+(area window, BoW node, projected radius, epipolar).  On TPU we compute the
+FULL N x M Hamming matrix with one int8 matmul — for binary a, b in {0,1}:
+
+    hamming(a, b) = popcnt(a) + popcnt(b) - 2 a.b
+
+— then apply each matcher's gating as an additive penalty before the top-2
+reduction.  A 2048x2048x256 int8 matmul is ~1 GFLOP fused work: far cheaper
+on the MXU than any gather-based candidate scheme, and it makes all the
+matcher variants one kernel with different masks.
+
+Distances are returned as int32 in [0, 256]; INVALID entries get LARGE.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LARGE = jnp.int32(1 << 20)
+
+# reference thresholds (match/base.h HAMMING_DIST usage)
+HAMMING_DIST_THR_LOW = 50
+HAMMING_DIST_THR_HIGH = 100
+MAX_HAMMING_DIST = 256
+
+
+def hamming_matrix(bits_a: jnp.ndarray, bits_b: jnp.ndarray) -> jnp.ndarray:
+    """bits_*: (N,256)/(M,256) int8 in {0,1} -> (N,M) int32 Hamming distances."""
+    dots = jax.lax.dot_general(
+        bits_a, bits_b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    na = jnp.sum(bits_a.astype(jnp.int32), -1)
+    nb = jnp.sum(bits_b.astype(jnp.int32), -1)
+    return na[:, None] + nb[None, :] - 2 * dots
+
+
+def top2(dist: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-row best & second-best: (best_idx (N,), best_d (N,), second_d (N,))."""
+    neg = -dist
+    v2, i2 = jax.lax.top_k(neg, 2)
+    return i2[:, 0], -v2[:, 0], -v2[:, 1]
+
+
+def match_descriptors(
+    bits_a: jnp.ndarray,
+    bits_b: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    gate: Optional[jnp.ndarray] = None,
+    max_dist: int = HAMMING_DIST_THR_LOW,
+    ratio: float = 0.9,
+    cross_check: bool = True,
+):
+    """Generic gated matcher.
+
+    gate: optional (N,M) bool — candidate compatibility (window / epipolar /
+    projection radius / BoW-node equality), True = allowed.
+    Returns (idx_b (N,) int32 [-1 if unmatched], dist (N,) int32).
+    """
+    d = hamming_matrix(bits_a, bits_b)
+    d = jnp.where(valid_a[:, None] & valid_b[None, :], d, LARGE)
+    if gate is not None:
+        d = jnp.where(gate, d, LARGE)
+    best_idx, best_d, second_d = top2(d)
+    ok = best_d <= max_dist
+    if ratio is not None:
+        ok &= best_d.astype(jnp.float32) <= ratio * second_d.astype(jnp.float32)
+    if cross_check:
+        # column-wise argmin must point back at the row
+        col_best = jnp.argmin(d, axis=0)                  # (M,)
+        ok &= col_best[best_idx] == jnp.arange(d.shape[0])
+    return jnp.where(ok, best_idx, -1), jnp.where(ok, best_d, LARGE)
+
+
+def angle_consistency_filter(
+    angles_a: jnp.ndarray, angles_b: jnp.ndarray, idx_b: jnp.ndarray,
+    num_bins: int = 30, keep_top: int = 3,
+):
+    """Orientation-histogram check (ref ``match/angle_checker.h``): keep only
+    matches whose angle difference falls in the top-`keep_top` histogram bins.
+
+    Returns updated idx_b with inconsistent matches set to -1.
+    """
+    matched = idx_b >= 0
+    da = angles_a - angles_b[jnp.clip(idx_b, 0)]
+    da = jnp.mod(da, 2 * jnp.pi)
+    bin_idx = jnp.clip((da / (2 * jnp.pi) * num_bins).astype(jnp.int32), 0, num_bins - 1)
+    hist = jnp.zeros(num_bins, jnp.int32).at[bin_idx].add(matched.astype(jnp.int32))
+    _, top_bins = jax.lax.top_k(hist, keep_top)
+    in_top = (bin_idx[:, None] == top_bins[None, :]).any(-1)
+    return jnp.where(matched & in_top, idx_b, -1)
+
+
+def window_gate(xy_a: jnp.ndarray, xy_b: jnp.ndarray, radius: float) -> jnp.ndarray:
+    """(N,2),(M,2) -> (N,M) bool: b within a square window around a (ref match::area)."""
+    dx = jnp.abs(xy_a[:, None, 0] - xy_b[None, :, 0])
+    dy = jnp.abs(xy_a[:, None, 1] - xy_b[None, :, 1])
+    return (dx < radius) & (dy < radius)
+
+
+def projection_gate(
+    proj_uv: jnp.ndarray, proj_valid: jnp.ndarray, xy_b: jnp.ndarray,
+    radius: jnp.ndarray,
+) -> jnp.ndarray:
+    """Guided 3D->2D search gate (ref match::projection): keypoint b must lie
+    within `radius` (per-row scalar or (N,)) of the projected position."""
+    r = radius if jnp.ndim(radius) > 0 else jnp.full(proj_uv.shape[0], radius)
+    dx = proj_uv[:, None, 0] - xy_b[None, :, 0]
+    dy = proj_uv[:, None, 1] - xy_b[None, :, 1]
+    d2 = dx * dx + dy * dy
+    return proj_valid[:, None] & (d2 < (r[:, None] ** 2))
+
+
+def scale_gate(level_a: jnp.ndarray, level_b: jnp.ndarray, tol: int = 1) -> jnp.ndarray:
+    """Octave-consistency gate: |level difference| <= tol."""
+    return jnp.abs(level_a[:, None] - level_b[None, :]) <= tol
+
+
+def epipolar_gate(
+    bearings_a: jnp.ndarray, bearings_b: jnp.ndarray, E_ab: jnp.ndarray,
+    thr: float = 2e-3,
+) -> jnp.ndarray:
+    """Essential-matrix consistency |b_a^T E b_b| below threshold on the unit
+    sphere (ref match::robust's epipolar check for triangulation pairs)."""
+    Eb = bearings_b @ E_ab.T                 # (M,3)
+    n = Eb / jnp.maximum(jnp.linalg.norm(Eb, axis=-1, keepdims=True), 1e-9)
+    res = jnp.abs(bearings_a @ n.T)          # (N,M)
+    return res < thr

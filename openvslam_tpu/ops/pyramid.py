@@ -1,0 +1,63 @@
+"""Image pyramid + Gaussian blur (ref ``feature/orb_extractor``: 8 levels, x1.2).
+
+Images are float32 in [0,255], shape (H, W).  Level shapes are static
+(computed from the config at trace time), so one jitted program handles the
+whole pyramid.  Resize uses bilinear interpolation like cv::resize.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def level_shapes(h: int, w: int, num_levels: int, scale: float) -> List[Tuple[int, int]]:
+    return [
+        (max(8, int(round(h / scale**l))), max(8, int(round(w / scale**l))))
+        for l in range(num_levels)
+    ]
+
+
+def scale_factors(num_levels: int, scale: float):
+    return [scale**l for l in range(num_levels)]
+
+
+def build_pyramid(img: jnp.ndarray, num_levels: int, scale: float):
+    """(H,W) f32 -> list of (Hl,Wl) f32, successively resized (like the ref,
+    each level resized from the previous for proper low-pass behavior)."""
+    h, w = img.shape
+    shapes = level_shapes(h, w, num_levels, scale)
+    levels = [img]
+    for l in range(1, num_levels):
+        prev = levels[-1]
+        levels.append(
+            jax.image.resize(prev, shapes[l], method="linear", antialias=True)
+        )
+    return levels
+
+
+def _gaussian_kernel1d(ksize: int, sigma: float):
+    r = ksize // 2
+    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0):
+    """Separable Gaussian blur with replicate padding (cv::GaussianBlur(7,7,2))."""
+    k = _gaussian_kernel1d(ksize, sigma)
+    r = ksize // 2
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], k[None, None, :, None],
+        window_strides=(1, 1), padding="VALID",
+    )[0, 0]
+    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], k[None, None, None, :],
+        window_strides=(1, 1), padding="VALID",
+    )[0, 0]
+    return x

@@ -1,0 +1,71 @@
+"""Synthetic scene / trajectory generators.
+
+Serves two roles (SURVEY.md §4): (1) the reference's synthetic-geometry unit
+test pattern — random landmark clouds + random poses + projection through a
+known camera, no dataset needed; (2) a deterministic rendered image sequence
+for end-to-end tracking tests and benchmarks (known ground truth => ATE can
+be asserted ~0), which the reference lacked.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def landmark_cloud(rng: np.random.Generator, n: int, center=(0, 0, 6), extent=(4, 3, 2)):
+    c = np.asarray(center, np.float64)
+    e = np.asarray(extent, np.float64)
+    return c + (rng.random((n, 3)) - 0.5) * 2 * e
+
+
+def lookat_pose_cw(eye, target, up=(0, -1, 0)):
+    """Camera-from-world pose with camera at `eye` looking at `target`.
+
+    Camera convention: +z forward, +x right, +y down (as in the reference).
+    """
+    eye = np.asarray(eye, np.float64)
+    target = np.asarray(target, np.float64)
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    upv = np.asarray(up, np.float64)
+    right = np.cross(upv, fwd)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R_wc = np.stack([right, down, fwd], axis=1)  # world-from-camera columns
+    T = np.eye(4)
+    T[:3, :3] = R_wc.T
+    T[:3, 3] = -R_wc.T @ eye
+    return T
+
+
+def orbit_trajectory(n_frames: int, radius=2.0, height=0.0, target=(0, 0, 6),
+                     arc=np.pi / 3, jitter=0.0, rng=None):
+    """Smooth sideways arc of camera poses looking at `target` -> (N,4,4) T_cw."""
+    ts = np.linspace(-arc / 2, arc / 2, n_frames)
+    poses = []
+    for a in ts:
+        eye = np.array([radius * np.sin(a), height, radius * (1 - np.cos(a))])
+        if jitter and rng is not None:
+            eye = eye + (rng.random(3) - 0.5) * jitter
+        poses.append(lookat_pose_cw(eye, target))
+    return np.stack(poses)
+
+
+def random_pose_cw(rng: np.random.Generator, max_angle=0.5, max_trans=1.0):
+    w = (rng.random(3) - 0.5) * 2 * max_angle
+    theta = np.linalg.norm(w)
+    if theta < 1e-12:
+        R = np.eye(3)
+    else:
+        k = w / theta
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        R = np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * K @ K
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = (rng.random(3) - 0.5) * 2 * max_trans
+    return T
+
+
+def random_sim3(rng: np.random.Generator, max_angle=0.5, max_trans=1.0, scale_range=(0.5, 2.0)):
+    T = random_pose_cw(rng, max_angle, max_trans)
+    s = rng.uniform(*scale_range)
+    return T[:3, :3], T[:3, 3], s
