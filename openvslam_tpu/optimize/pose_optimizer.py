@@ -1,0 +1,107 @@
+"""Pose-only Levenberg-Marquardt (ref ``optimize/pose_optimizer``: g2o LM,
+unary reprojection edges, 4 rounds x 10 iterations with inlier
+reclassification between rounds, Huber at chi2 5.991/7.815).
+
+TPU-native: the whole 4x10 schedule is ONE jitted program — residuals and
+6-DoF Jacobians for all observations come from one vmapped autodiff call,
+the normal equations are a (6,6) solve, and rounds/iters are lax.fori_loops.
+Fixed observation capacity + validity mask.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import se3
+from . import residuals as R
+
+
+class PoseOptResult(NamedTuple):
+    T_cw: jnp.ndarray        # (4,4) optimized pose
+    inliers: jnp.ndarray     # (N,) bool final inlier classification
+    num_inliers: jnp.ndarray # () int32
+    chi2: jnp.ndarray        # (N,) final per-obs chi2
+
+
+def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
+                        iters_per_round: int = 10):
+    """Build a jitted pose optimizer for one camera model.
+
+    Returned fn(T_init (4,4), X_w (N,3), obs (N,2|3), sigma2 (N,), mask (N,))
+    -> PoseOptResult.  `obs` is uv for mono, (u,v,u_right) for stereo
+    (u_right < 0 marks a mono observation inside a stereo frame).
+    """
+    res_fn = R.make_stereo_residual(cam) if stereo else R.make_mono_residual(cam)
+    chi2_thr = R.CHI2_3D if stereo else R.CHI2_2D
+
+    def resid_all(T, X, obs):
+        r, ok = jax.vmap(res_fn, in_axes=(None, 0, 0))(T, X, obs)
+        return r, ok
+
+    def jac_all(T, X, obs):
+        def r_of_xi(xi, Xi, oi):
+            r, _ = res_fn(R.perturb_pose(xi, T), Xi, oi)
+            return r
+        J = jax.vmap(jax.jacfwd(r_of_xi), in_axes=(None, 0, 0))(
+            jnp.zeros(6, T.dtype), X, obs
+        )
+        return J  # (N, d, 6)
+
+    @jax.jit
+    def optimize(T_init, X_w, obs, sigma2, mask):
+        inv_s2 = 1.0 / jnp.maximum(sigma2, 1e-12)
+
+        def chi2_of(T, active):
+            r, ok = resid_all(T, X_w, obs)
+            c2 = jnp.sum(r * r, -1) * inv_s2
+            return c2, ok
+
+        def lm_round(carry, _):
+            T, active = carry
+
+            def lm_iter(carry2, _):
+                T, lam, cost_prev = carry2
+                r, ok = resid_all(T, X_w, obs)
+                c2 = jnp.sum(r * r, -1) * inv_s2
+                w_rob = R.huber_weight(c2, chi2_thr)
+                w = w_rob * inv_s2 * (active & ok & mask)
+                J = jac_all(T, X_w, obs)                       # (N,d,6)
+                H = jnp.einsum("ndi,ndj,n->ij", J, J, w)
+                grad = jnp.einsum("ndi,nd,n->i", J, r, w)
+                Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
+                dx = -jnp.linalg.solve(Hd, grad)
+                T_new = R.perturb_pose(dx, T)
+                r2, ok2 = resid_all(T_new, X_w, obs)
+                c2n = jnp.sum(r2 * r2, -1) * inv_s2
+                # robust cost (Huber rho) for accept/reject
+                def rho(c):
+                    return jnp.where(c <= chi2_thr, c,
+                                     2.0 * jnp.sqrt(chi2_thr * jnp.maximum(c, 0.0)) - chi2_thr)
+                msk = (active & mask).astype(T.dtype)
+                cost_new = jnp.sum(rho(c2n) * msk * ok2)
+                cost_old = jnp.sum(rho(c2) * msk * ok)
+                accept = cost_new < cost_old
+                T_out = jnp.where(accept, T_new, T)
+                lam_out = jnp.where(accept, lam * 0.5, lam * 4.0)
+                lam_out = jnp.clip(lam_out, 1e-9, 1e6)
+                return (T_out, lam_out, jnp.where(accept, cost_new, cost_old)), None
+
+            (T, _, _), _ = jax.lax.scan(
+                lm_iter, (T, jnp.float32(1e-3), jnp.float32(jnp.inf)),
+                None, length=iters_per_round,
+            )
+            c2, ok = chi2_of(T, active)
+            active_new = mask & ok & (c2 < chi2_thr)
+            return (T, active_new), None
+
+        (T_fin, active), _ = jax.lax.scan(
+            lm_round, (T_init, mask), None, length=num_rounds
+        )
+        c2, ok = chi2_of(T_fin, active)
+        inl = mask & ok & (c2 < chi2_thr)
+        return PoseOptResult(T_fin, inl, jnp.sum(inl.astype(jnp.int32)), c2)
+
+    return optimize

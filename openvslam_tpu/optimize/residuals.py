@@ -1,0 +1,72 @@
+"""Reprojection residuals + robust weights shared by all optimizers.
+
+Replaces the reference's typed g2o edges (``optimize/internal/se3/*``,
+``reproj_edge_wrapper`` dispatching on camera model; SURVEY.md §2.1).  Here
+the "edge" is a pure function; Jacobians come from autodiff (jacfwd over the
+6-DoF left-increment), batched with vmap — XLA fuses the whole edge batch
+into a few dense ops.
+
+Residual conventions (matching the reference's information weighting):
+* mono: 2D pixel residual, chi2 threshold 5.991
+* stereo: 3D (u, v, u_right) residual, chi2 threshold 7.815
+* equirectangular: 2D pixel residual with horizontal seam wrapping
+* per-observation variance sigma2 = scale_factor^(2*octave)
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import se3
+
+CHI2_2D = 5.991
+CHI2_3D = 7.815
+_EPS = 1e-9
+
+
+def make_mono_residual(cam) -> Callable:
+    """Returns residual(T_cw (4,4), X_w (3,), uv_obs (2,)) -> (r (2,), ok)."""
+    is_equirect = getattr(cam, "model_name", "") == "equirectangular"
+
+    def residual(T_cw, X_w, uv_obs):
+        x_cam = se3.transform(T_cw, X_w)
+        uv, depth, _ = cam.project(x_cam)
+        r = uv_obs - uv
+        if is_equirect:
+            half = cam.cols * 0.5
+            r = r.at[0].set(jnp.mod(r[0] + half, cam.cols) - half)
+            ok = depth > _EPS
+        else:
+            ok = x_cam[2] > _EPS
+        return jnp.where(ok, r, 0.0), ok
+
+    return residual
+
+
+def make_stereo_residual(cam) -> Callable:
+    """Returns residual(T_cw, X_w, uvr_obs (3,)) -> (r (3,), ok).
+
+    uvr_obs = (u, v, u_right); u_right = u - focal_x_baseline / depth.
+    """
+
+    def residual(T_cw, X_w, uvr_obs):
+        x_cam = se3.transform(T_cw, X_w)
+        uv, depth, _ = cam.project(x_cam)
+        ur = cam.stereo_right_u(uv, depth)
+        pred = jnp.concatenate([uv, ur[None]], 0)
+        ok = x_cam[2] > _EPS
+        return jnp.where(ok, uvr_obs - pred, 0.0), ok
+
+    return residual
+
+
+def huber_weight(chi2: jnp.ndarray, delta2: float) -> jnp.ndarray:
+    """IRLS weight of the Huber kernel at squared error chi2 (threshold^2=delta2)."""
+    return jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, _EPS)))
+
+
+def perturb_pose(xi: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
+    """Left-multiplied increment: T' = exp(xi) T (the optimizers' chart)."""
+    return se3.se3_exp(xi) @ T
