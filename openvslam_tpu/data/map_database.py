@@ -1,0 +1,371 @@
+"""Host map database: keyframes + landmarks + covisibility/spanning graph.
+
+Replaces the reference's ``data/map_database`` + ``data/keyframe`` +
+``data/landmark`` + ``data/graph_node`` (SURVEY.md §2.1).  Pointer webs
+become integer ids over numpy SoA columns; the single big database mutex
+becomes "one writer" by construction (the mapping step is the only mutator
+between tracking calls).
+
+Numeric columns are laid out so device uploads are plain slices:
+  kf_desc_i8[kf]      (K,256) int8   — matching operand
+  lm_pos[ids]         (n,3)   f32    — BA / projection operand
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+
+COVIS_WEIGHT_THR = 15   # reference threshold for covisibility edges
+
+
+def _popcount_u32(x: np.ndarray) -> np.ndarray:
+    return np.bitwise_count(x)
+
+
+def hamming_packed(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Hamming distance between packed (…,8) u32 descriptor rows."""
+    return _popcount_u32(a ^ b).sum(-1)
+
+
+class MapDatabase:
+    def __init__(self, kpt_capacity: int, max_kfs: int = 4096, max_lms: int = 1 << 18):
+        self.K = kpt_capacity
+        self.max_kfs = max_kfs
+        self.max_lms = max_lms
+
+        # --- keyframes (SoA, lists of per-KF arrays kept contiguous) ---
+        self.kf_valid = np.zeros(max_kfs, bool)
+        self.kf_pose_cw = np.zeros((max_kfs, 4, 4), np.float32)
+        self.kf_timestamp = np.zeros(max_kfs, np.float64)
+        self.kf_src_frame = np.full(max_kfs, -1, np.int64)
+        self.kf_xy: List[Optional[np.ndarray]] = [None] * max_kfs
+        self.kf_xy_undist: List[Optional[np.ndarray]] = [None] * max_kfs
+        self.kf_bearing: List[Optional[np.ndarray]] = [None] * max_kfs
+        self.kf_level: List[Optional[np.ndarray]] = [None] * max_kfs
+        self.kf_angle: List[Optional[np.ndarray]] = [None] * max_kfs
+        self.kf_desc_u32: List[Optional[np.ndarray]] = [None] * max_kfs
+        self.kf_desc_i8: List[Optional[np.ndarray]] = [None] * max_kfs
+        self.kf_kpt_valid: List[Optional[np.ndarray]] = [None] * max_kfs
+        self.kf_x_right: List[Optional[np.ndarray]] = [None] * max_kfs
+        self.kf_depth: List[Optional[np.ndarray]] = [None] * max_kfs
+        self.kf_lm_idx: List[Optional[np.ndarray]] = [None] * max_kfs   # (K,) -> lm id
+        self.n_kfs = 0
+
+        # --- landmarks ---
+        self.lm_valid = np.zeros(max_lms, bool)
+        self.lm_pos = np.zeros((max_lms, 3), np.float32)
+        self.lm_desc_u32 = np.zeros((max_lms, 8), np.uint32)
+        self.lm_desc_i8 = np.zeros((max_lms, 256), np.int8)
+        self.lm_normal = np.zeros((max_lms, 3), np.float32)
+        self.lm_min_dist = np.zeros(max_lms, np.float32)
+        self.lm_max_dist = np.zeros(max_lms, np.float32)
+        self.lm_ref_kf = np.full(max_lms, -1, np.int32)
+        self.lm_first_kf = np.full(max_lms, -1, np.int32)
+        self.lm_n_visible = np.zeros(max_lms, np.int32)
+        self.lm_n_found = np.zeros(max_lms, np.int32)
+        self.lm_num_obs = np.zeros(max_lms, np.int32)
+        self.lm_obs: List[Optional[Dict[int, int]]] = [None] * max_lms  # kf -> kpt idx
+        self.lm_replaced_by = np.full(max_lms, -1, np.int32)
+        self.n_lms = 0
+
+        # --- covisibility graph / spanning tree / loop edges ---
+        self.covis: List[Optional[Dict[int, int]]] = [None] * max_kfs   # kf -> weight
+        self.covis_ordered: List[Optional[np.ndarray]] = [None] * max_kfs
+        self.parent = np.full(max_kfs, -1, np.int32)
+        self.children: List[Optional[Set[int]]] = [None] * max_kfs
+        self.loop_edges: List[Optional[Set[int]]] = [None] * max_kfs
+
+        self.origin_kf = -1
+
+    # ------------------------------------------------------------------
+    # keyframes
+    # ------------------------------------------------------------------
+    def add_keyframe(self, frame) -> int:
+        kf = self.n_kfs
+        assert kf < self.max_kfs, "keyframe capacity exceeded"
+        self.n_kfs += 1
+        self.kf_valid[kf] = True
+        self.kf_pose_cw[kf] = frame.pose_cw
+        self.kf_timestamp[kf] = frame.timestamp
+        self.kf_src_frame[kf] = frame.frame_id
+        self.kf_xy[kf] = frame.xy.copy()
+        self.kf_xy_undist[kf] = frame.xy_undist.copy()
+        self.kf_bearing[kf] = frame.bearing.copy()
+        self.kf_level[kf] = frame.level.copy()
+        self.kf_angle[kf] = frame.angle.copy()
+        self.kf_desc_u32[kf] = frame.desc_u32.copy()
+        self.kf_desc_i8[kf] = frame.desc_i8.copy()
+        self.kf_kpt_valid[kf] = frame.valid.copy()
+        self.kf_x_right[kf] = frame.x_right.copy()
+        self.kf_depth[kf] = frame.depth.copy()
+        self.kf_lm_idx[kf] = np.full(self.K, -1, np.int32)
+        self.covis[kf] = {}
+        self.covis_ordered[kf] = np.zeros(0, np.int32)
+        self.children[kf] = set()
+        self.loop_edges[kf] = set()
+        if self.origin_kf < 0:
+            self.origin_kf = kf
+        return kf
+
+    def erase_keyframe(self, kf: int):
+        """Remove a redundant keyframe, repairing the spanning tree
+        (ref keyframe::erase: children reassigned to best candidate parents)."""
+        if kf == self.origin_kf or not self.kf_valid[kf]:
+            return
+        # remove observations
+        lm_arr = self.kf_lm_idx[kf]
+        for idx in np.where(lm_arr >= 0)[0]:
+            self.erase_observation(int(lm_arr[idx]), kf)
+        # remove covisibility both ways
+        for nb in list(self.covis[kf].keys()):
+            self.covis[nb].pop(kf, None)
+            self._reorder_covis(nb)
+        # spanning-tree repair: candidates = parent + children's covisibles
+        parent = int(self.parent[kf])
+        children = set(self.children[kf])
+        if parent >= 0:
+            self.children[parent].discard(kf)
+        candidates = {parent} if parent >= 0 else set()
+        while children:
+            best = None
+            for ch in children:
+                for cand in candidates:
+                    w = self.covis[ch].get(cand, 0)
+                    if w > 0 and (best is None or w > best[0]):
+                        best = (w, ch, cand)
+            if best is None:
+                break
+            _, ch, cand = best
+            self.parent[ch] = cand
+            self.children[cand].add(ch)
+            candidates.add(ch)
+            children.discard(ch)
+        for ch in children:  # orphans -> attach to removed KF's parent
+            self.parent[ch] = parent
+            if parent >= 0:
+                self.children[parent].add(ch)
+        self.kf_valid[kf] = False
+        self.covis[kf] = {}
+        self.covis_ordered[kf] = np.zeros(0, np.int32)
+
+    def valid_kf_ids(self) -> np.ndarray:
+        return np.where(self.kf_valid[: self.n_kfs])[0]
+
+    # ------------------------------------------------------------------
+    # landmarks
+    # ------------------------------------------------------------------
+    def add_landmark(self, pos, desc_u32, desc_i8, ref_kf: int) -> int:
+        lm = self.n_lms
+        assert lm < self.max_lms, "landmark capacity exceeded"
+        self.n_lms += 1
+        self.lm_valid[lm] = True
+        self.lm_pos[lm] = pos
+        self.lm_desc_u32[lm] = desc_u32
+        self.lm_desc_i8[lm] = desc_i8
+        self.lm_ref_kf[lm] = ref_kf
+        self.lm_first_kf[lm] = ref_kf
+        self.lm_n_visible[lm] = 1
+        self.lm_n_found[lm] = 1
+        self.lm_obs[lm] = {}
+        return lm
+
+    def add_observation(self, lm: int, kf: int, kpt_idx: int):
+        if not self.lm_valid[lm]:
+            return
+        obs = self.lm_obs[lm]
+        if kf in obs:
+            return
+        obs[kf] = int(kpt_idx)
+        self.kf_lm_idx[kf][kpt_idx] = lm
+        self.lm_num_obs[lm] = len(obs)
+
+    def erase_observation(self, lm: int, kf: int):
+        obs = self.lm_obs[lm]
+        if obs is None or kf not in obs:
+            return
+        idx = obs.pop(kf)
+        if self.kf_lm_idx[kf] is not None and self.kf_lm_idx[kf][idx] == lm:
+            self.kf_lm_idx[kf][idx] = -1
+        self.lm_num_obs[lm] = len(obs)
+        if self.lm_ref_kf[lm] == kf and obs:
+            self.lm_ref_kf[lm] = next(iter(obs))
+        if len(obs) <= 1 and self.lm_valid[lm]:
+            self.erase_landmark(lm)
+
+    def erase_landmark(self, lm: int):
+        if not self.lm_valid[lm]:
+            return
+        self.lm_valid[lm] = False
+        for kf, idx in list((self.lm_obs[lm] or {}).items()):
+            if self.kf_lm_idx[kf] is not None and self.kf_lm_idx[kf][idx] == lm:
+                self.kf_lm_idx[kf][idx] = -1
+        self.lm_obs[lm] = {}
+        self.lm_num_obs[lm] = 0
+
+    def replace_landmark(self, old: int, new: int):
+        """Merge `old` into `new` (ref landmark::replace)."""
+        if old == new or not self.lm_valid[old]:
+            return
+        for kf, idx in list((self.lm_obs[old] or {}).items()):
+            self.kf_lm_idx[kf][idx] = -1
+            if kf not in (self.lm_obs[new] or {}):
+                self.add_observation(new, kf, idx)
+            # else: duplicate observation — drop it
+        self.lm_n_visible[new] += self.lm_n_visible[old]
+        self.lm_n_found[new] += self.lm_n_found[old]
+        self.lm_valid[old] = False
+        self.lm_obs[old] = {}
+        self.lm_num_obs[old] = 0
+        self.lm_replaced_by[old] = new
+
+    def resolve_replaced(self, lm: int) -> int:
+        """Follow replacement chain (tracking uses this to refresh last-frame ptrs)."""
+        seen = 0
+        while lm >= 0 and not self.lm_valid[lm] and self.lm_replaced_by[lm] >= 0 and seen < 16:
+            lm = int(self.lm_replaced_by[lm])
+            seen += 1
+        return lm if lm >= 0 and self.lm_valid[lm] else -1
+
+    def update_landmark_descriptor(self, lm: int):
+        """Representative descriptor = min median Hamming to the others."""
+        obs = self.lm_obs[lm]
+        if not obs:
+            return
+        descs = np.stack([self.kf_desc_u32[kf][idx] for kf, idx in obs.items()])
+        if len(descs) == 1:
+            best = 0
+        else:
+            d = _popcount_u32(descs[:, None, :] ^ descs[None, :, :]).sum(-1)
+            best = int(np.argmin(np.median(d, axis=1)))
+        kf, idx = list(obs.items())[best]
+        self.lm_desc_u32[lm] = self.kf_desc_u32[kf][idx]
+        self.lm_desc_i8[lm] = self.kf_desc_i8[kf][idx]
+
+    def update_landmark_geometry(self, lm: int, scale_factor: float, num_levels: int):
+        """Mean viewing direction + scale-invariance distance range
+        (ref landmark::update_normal_and_depth)."""
+        obs = self.lm_obs[lm]
+        if not obs:
+            return
+        pos = self.lm_pos[lm]
+        normals = []
+        for kf in obs:
+            T = self.kf_pose_cw[kf]
+            c = -T[:3, :3].T @ T[:3, 3]
+            v = pos - c
+            n = np.linalg.norm(v)
+            if n > 1e-9:
+                normals.append(v / n)
+        if normals:
+            m = np.mean(normals, 0)
+            nm = np.linalg.norm(m)
+            self.lm_normal[lm] = m / max(nm, 1e-9)
+        ref = int(self.lm_ref_kf[lm])
+        if ref >= 0 and ref in obs:
+            T = self.kf_pose_cw[ref]
+            c = -T[:3, :3].T @ T[:3, 3]
+            dist = float(np.linalg.norm(pos - c))
+            level = int(self.kf_level[ref][obs[ref]])
+            sf = scale_factor**level
+            self.lm_max_dist[lm] = dist * sf
+            self.lm_min_dist[lm] = dist * sf / (scale_factor ** (num_levels - 1))
+
+    def valid_lm_ids(self) -> np.ndarray:
+        return np.where(self.lm_valid[: self.n_lms])[0]
+
+    # ------------------------------------------------------------------
+    # covisibility graph + spanning tree
+    # ------------------------------------------------------------------
+    def _reorder_covis(self, kf: int):
+        items = [(w, nb) for nb, w in self.covis[kf].items()]
+        items.sort(reverse=True)
+        self.covis_ordered[kf] = np.array([nb for _, nb in items], np.int32)
+
+    def update_connections(self, kf: int, set_parent: bool = True):
+        """Recount shared landmarks with other KFs (ref graph_node::update_connections)."""
+        counts: Dict[int, int] = {}
+        lm_arr = self.kf_lm_idx[kf]
+        for idx in np.where(lm_arr >= 0)[0]:
+            lm = int(lm_arr[idx])
+            if not self.lm_valid[lm]:
+                continue
+            for other in self.lm_obs[lm]:
+                if other != kf:
+                    counts[other] = counts.get(other, 0) + 1
+        if not counts:
+            self.covis[kf] = {}
+            self.covis_ordered[kf] = np.zeros(0, np.int32)
+            return
+        best_nb = max(counts, key=counts.get)
+        kept = {nb: w for nb, w in counts.items() if w >= COVIS_WEIGHT_THR}
+        if not kept:
+            kept = {best_nb: counts[best_nb]}
+        # clear old reciprocal edges no longer kept
+        for nb in list(self.covis[kf].keys()):
+            if nb not in kept:
+                self.covis[nb].pop(kf, None)
+                self._reorder_covis(nb)
+        self.covis[kf] = dict(kept)
+        self._reorder_covis(kf)
+        for nb, w in kept.items():
+            self.covis[nb][kf] = w
+            self._reorder_covis(nb)
+        if set_parent and self.parent[kf] < 0 and kf != self.origin_kf:
+            self.parent[kf] = best_nb
+            self.children[best_nb].add(kf)
+
+    def get_top_covisible(self, kf: int, n: int) -> List[int]:
+        order = self.covis_ordered[kf]
+        return [int(x) for x in order[:n] if self.kf_valid[x]]
+
+    def add_loop_edge(self, a: int, b: int):
+        self.loop_edges[a].add(b)
+        self.loop_edges[b].add(a)
+
+    # ------------------------------------------------------------------
+    # local map acquisition (ref module/local_map_updater)
+    # ------------------------------------------------------------------
+    def acquire_local_map(self, seed_lms: np.ndarray, max_kfs: int = 60):
+        """KFs sharing landmarks with the seed set + their neighbors/parent/
+        children (capped), and the union of their landmarks."""
+        counts: Dict[int, int] = {}
+        for lm in seed_lms:
+            lm = int(lm)
+            if lm < 0 or not self.lm_valid[lm]:
+                continue
+            for kf in self.lm_obs[lm]:
+                if self.kf_valid[kf]:
+                    counts[kf] = counts.get(kf, 0) + 1
+        if not counts:
+            return [], np.zeros(0, np.int64)
+        base = sorted(counts, key=counts.get, reverse=True)
+        local_kfs: List[int] = []
+        seen = set()
+        for kf in base:
+            if len(local_kfs) >= max_kfs:
+                break
+            if kf not in seen:
+                local_kfs.append(kf)
+                seen.add(kf)
+        for kf in list(local_kfs):
+            if len(local_kfs) >= max_kfs:
+                break
+            extras = self.get_top_covisible(kf, 10)
+            p = int(self.parent[kf])
+            if p >= 0:
+                extras.append(p)
+            extras.extend(self.children[kf])
+            for e in extras:
+                if e not in seen and self.kf_valid[e]:
+                    local_kfs.append(e)
+                    seen.add(e)
+                    if len(local_kfs) >= max_kfs:
+                        break
+        lm_set: Set[int] = set()
+        for kf in local_kfs:
+            arr = self.kf_lm_idx[kf]
+            for lm in arr[arr >= 0]:
+                if self.lm_valid[lm]:
+                    lm_set.add(int(lm))
+        return local_kfs, np.fromiter(lm_set, np.int64, len(lm_set))

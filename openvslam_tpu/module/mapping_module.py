@@ -1,0 +1,360 @@
+"""Mapping module (ref ``mapping_module.*``): keyframe insertion pipeline —
+store KF, cull fresh landmarks, triangulate new landmarks with covisible
+keyframes, fuse duplicates, local BA, cull redundant keyframes
+(SURVEY.md §3.3).
+
+Synchronous host orchestration (the async/thread contract of the reference is
+provided one level up by the System's executor); numeric work is jitted:
+epipolar-gated matching, checked triangulation, dense-Schur local BA.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..models import tracking_ops as TO
+from ..optimize.ba import BAProblem, make_local_ba
+from ..optimize import residuals as R
+
+
+class MappingModule:
+    def __init__(self, cfg, cam, map_db,
+                 ba_cams: int = 24, ba_lms: int = 4096, ba_obs: int = 16384,
+                 global_optimizer=None):
+        self.cfg = cfg
+        self.cam = cam
+        self.db = map_db
+        self.global_optimizer = global_optimizer
+        nl = cfg.feature.num_levels
+        sf = cfg.feature.scale_factor
+        self.scale_factors = np.array([sf**l for l in range(nl)], np.float32)
+        self.sigma2 = self.scale_factors**2
+        self.num_levels = nl
+        self.C, self.L, self.O = ba_cams, ba_lms, ba_obs
+        self.local_ba = make_local_ba(cam)
+        self.recent_lms: List[Tuple[int, int]] = []   # (lm, born_kf)
+        self.num_covis_for_triangulation = 10
+        self.abort_ba = False
+
+    # ------------------------------------------------------------------
+    def after_initialization(self, kf1: int, kf2: int):
+        """Tiny full BA on the 2-KF initial map (ref: global BA after init)."""
+        self._run_local_ba(kf2)
+        for lm in self.db.valid_lm_ids():
+            self.recent_lms.append((int(lm), kf2))
+
+    def insert_keyframe(self, frame) -> int:
+        db = self.db
+        kf = db.add_keyframe(frame)
+        # store: associate tracked landmarks
+        for i in np.where((frame.lm_idx >= 0) & frame.valid & ~frame.outlier)[0]:
+            lm = int(frame.lm_idx[i])
+            if not db.lm_valid[lm]:
+                continue
+            if kf not in db.lm_obs[lm]:
+                db.add_observation(lm, kf, int(i))
+                db.update_landmark_descriptor(lm)
+                db.update_landmark_geometry(
+                    lm, self.cfg.feature.scale_factor, self.num_levels
+                )
+        db.update_connections(kf)
+        self.remove_redundant_landmarks(kf)
+        self.create_new_landmarks(kf)
+        self.fuse_duplicated_landmarks(kf)
+        self._run_local_ba(kf)
+        self.remove_redundant_keyframes(kf)
+        if self.global_optimizer is not None:
+            self.global_optimizer.queue_keyframe(kf)
+        return kf
+
+    # ------------------------------------------------------------------
+    # landmark culling (ref module/local_map_cleaner)
+    # ------------------------------------------------------------------
+    def remove_redundant_landmarks(self, cur_kf: int):
+        db = self.db
+        keep = []
+        for lm, born in self.recent_lms:
+            if not db.lm_valid[lm]:
+                continue
+            ratio = db.lm_n_found[lm] / max(db.lm_n_visible[lm], 1)
+            age = cur_kf - born
+            if ratio < 0.25 and age >= 2:
+                db.erase_landmark(lm)
+            elif age >= 2 and db.lm_num_obs[lm] <= 2:
+                db.erase_landmark(lm)
+            elif age >= 3:
+                pass          # graduated: stop monitoring
+            else:
+                keep.append((lm, born))
+        self.recent_lms = keep
+
+    # ------------------------------------------------------------------
+    # triangulation with covisible keyframes (ref create_new_landmarks)
+    # ------------------------------------------------------------------
+    def create_new_landmarks(self, kf: int):
+        db = self.db
+        neighbors = db.get_top_covisible(kf, self.num_covis_for_triangulation)
+        if not neighbors:
+            # fall back: previous keyframe
+            prev = [k for k in db.valid_kf_ids() if k != kf]
+            neighbors = prev[-2:]
+        T1 = db.kf_pose_cw[kf]
+        c1 = -T1[:3, :3].T @ T1[:3, 3]
+        unmatched1 = (db.kf_lm_idx[kf] < 0) & db.kf_kpt_valid[kf]
+        median_depth = self._median_scene_depth(kf)
+        for nb in neighbors:
+            T2 = db.kf_pose_cw[nb]
+            c2 = -T2[:3, :3].T @ T2[:3, 3]
+            baseline = np.linalg.norm(c2 - c1)
+            if baseline < self.cfg.mapping.baseline_dist_thr_ratio * median_depth:
+                continue
+            E12 = TO.essential_from_poses(
+                jnp.asarray(T1, jnp.float32), jnp.asarray(T2, jnp.float32)
+            )
+            unmatched2 = (db.kf_lm_idx[nb] < 0) & db.kf_kpt_valid[nb]
+            idx, dist = TO.match_unmatched_robust(
+                jnp.asarray(db.kf_desc_i8[kf]), jnp.asarray(unmatched1),
+                jnp.asarray(db.kf_bearing[kf]),
+                jnp.asarray(db.kf_desc_i8[nb]), jnp.asarray(unmatched2),
+                jnp.asarray(db.kf_bearing[nb]),
+                E12, jnp.float32(2e-3),
+            )
+            idx = np.asarray(idx)
+            m1 = np.where(idx >= 0)[0]
+            if len(m1) == 0:
+                continue
+            m2 = idx[m1]
+            K = db.K
+            b1 = np.zeros((K, 3), np.float32); b1[:, 2] = 1
+            b2 = np.zeros((K, 3), np.float32); b2[:, 2] = 1
+            uv1 = np.zeros((K, 2), np.float32)
+            uv2 = np.zeros((K, 2), np.float32)
+            s1 = np.ones(K, np.float32)
+            s2 = np.ones(K, np.float32)
+            pmask = np.zeros(K, bool)
+            n = len(m1)
+            b1[:n] = db.kf_bearing[kf][m1]
+            b2[:n] = db.kf_bearing[nb][m2]
+            uv1[:n] = db.kf_xy_undist[kf][m1]
+            uv2[:n] = db.kf_xy_undist[nb][m2]
+            s1[:n] = self.sigma2[db.kf_level[kf][m1]]
+            s2[:n] = self.sigma2[db.kf_level[nb][m2]]
+            pmask[:n] = True
+            X, ok = TO.triangulate_pair_checked(
+                self.cam,
+                jnp.asarray(T1, jnp.float32), jnp.asarray(T2, jnp.float32),
+                jnp.asarray(b1), jnp.asarray(b2),
+                jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(pmask),
+            )
+            X = np.asarray(X)
+            ok = np.asarray(ok)
+            for j in np.where(ok[:n])[0]:
+                i1, i2 = int(m1[j]), int(m2[j])
+                if db.kf_lm_idx[kf][i1] >= 0 or db.kf_lm_idx[nb][i2] >= 0:
+                    continue
+                lm = db.add_landmark(
+                    X[j].astype(np.float32),
+                    db.kf_desc_u32[kf][i1], db.kf_desc_i8[kf][i1], kf,
+                )
+                db.add_observation(lm, kf, i1)
+                db.add_observation(lm, nb, i2)
+                db.update_landmark_descriptor(lm)
+                db.update_landmark_geometry(
+                    lm, self.cfg.feature.scale_factor, self.num_levels
+                )
+                self.recent_lms.append((lm, kf))
+                unmatched1[i1] = False
+        db.update_connections(kf)
+
+    def _median_scene_depth(self, kf: int) -> float:
+        db = self.db
+        lms = db.kf_lm_idx[kf]
+        lms = lms[lms >= 0]
+        if len(lms) == 0:
+            return 1.0
+        T = db.kf_pose_cw[kf]
+        pc = (T[:3, :3] @ db.lm_pos[lms].T).T + T[:3, 3]
+        z = pc[:, 2]
+        z = z[z > 0]
+        return float(np.median(z)) if len(z) else 1.0
+
+    # ------------------------------------------------------------------
+    # duplicate fusion (ref update_new_keyframe / match::fuse)
+    # ------------------------------------------------------------------
+    def fuse_duplicated_landmarks(self, kf: int):
+        db = self.db
+        targets = db.get_top_covisible(kf, self.cfg.mapping.num_covisibilities_for_landmark_fusion)
+        own = db.kf_lm_idx[kf]
+        own_lms = own[own >= 0]
+        if len(own_lms) == 0 or not targets:
+            return
+        Lcap = 4096
+        n = min(len(own_lms), Lcap)
+        lm_ids = own_lms[:n]
+        pos = np.zeros((Lcap, 3), np.float32)
+        desc = np.zeros((Lcap, 256), np.int8)
+        valid = np.zeros(Lcap, bool)
+        pos[:n] = db.lm_pos[lm_ids]
+        desc[:n] = db.lm_desc_i8[lm_ids]
+        valid[:n] = True
+        pred = np.full(Lcap, -1, np.int32)
+        for nb in targets:
+            idx, dist = TO.fuse_candidates(
+                self.cam, jnp.asarray(db.kf_pose_cw[nb], jnp.float32),
+                jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
+                jnp.asarray(db.kf_desc_i8[nb]), jnp.asarray(db.kf_xy_undist[nb]),
+                jnp.asarray(db.kf_kpt_valid[nb]), jnp.asarray(db.kf_level[nb]),
+                jnp.float32(3.0), jnp.asarray(self.scale_factors),
+                jnp.asarray(pred),
+            )
+            idx = np.asarray(idx)
+            for j in np.where(idx >= 0)[0]:
+                if j >= n:
+                    continue
+                lm = int(lm_ids[j])
+                if not db.lm_valid[lm]:
+                    continue
+                kpt = int(idx[j])
+                other = int(db.kf_lm_idx[nb][kpt])
+                if other >= 0 and db.lm_valid[other]:
+                    if other != lm:
+                        # merge the one with fewer observations into the other
+                        if db.lm_num_obs[lm] >= db.lm_num_obs[other]:
+                            db.replace_landmark(other, lm)
+                        else:
+                            db.replace_landmark(lm, other)
+                else:
+                    db.add_observation(lm, nb, kpt)
+                    db.update_landmark_descriptor(lm)
+        db.update_connections(kf)
+
+    # ------------------------------------------------------------------
+    # local BA (ref optimize/local_bundle_adjuster)
+    # ------------------------------------------------------------------
+    def _run_local_ba(self, kf: int):
+        db = self.db
+        local = [kf] + db.get_top_covisible(kf, self.C - 1)
+        local = [k for k in local if db.kf_valid[k]]
+        local_set = set(local)
+        # landmarks of local KFs
+        lm_set = {}
+        for k in local:
+            arr = db.kf_lm_idx[k]
+            for lm in arr[arr >= 0]:
+                lm = int(lm)
+                if db.lm_valid[lm]:
+                    lm_set[lm] = True
+        lm_ids = list(lm_set.keys())[: self.L]
+        # fixed KFs: other observers of those landmarks
+        fixed = []
+        fixed_seen = set(local_set)
+        for lm in lm_ids:
+            for k in db.lm_obs[lm]:
+                if k not in fixed_seen and db.kf_valid[k]:
+                    fixed.append(k)
+                    fixed_seen.add(k)
+        # cap total cameras at C: prefer all local, then fixed by recency
+        n_local = len(local)
+        max_fixed = self.C - n_local
+        fixed = sorted(fixed, reverse=True)[:max_fixed]
+        cams = local + fixed
+        cam_index = {k: i for i, k in enumerate(cams)}
+        lm_index = {lm: i for i, lm in enumerate(lm_ids)}
+
+        C, L, O = self.C, self.L, self.O
+        T = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+        cam_opt = np.zeros(C, bool)
+        cam_valid = np.zeros(C, bool)
+        for k, i in cam_index.items():
+            T[i] = db.kf_pose_cw[k]
+            cam_valid[i] = True
+            cam_opt[i] = (k in local_set) and (k != db.origin_kf)
+        # keep gauge: if every cam would be free, fix the oldest
+        if cam_opt.all():
+            cam_opt[cam_index[min(cams)]] = False
+        X = np.zeros((L, 3), np.float32)
+        lm_valid = np.zeros(L, bool)
+        for lm, i in lm_index.items():
+            X[i] = db.lm_pos[lm]
+            lm_valid[i] = True
+        oc = np.zeros(O, np.int32)
+        ol = np.zeros(O, np.int32)
+        ouv = np.zeros((O, 2), np.float32)
+        osg = np.ones(O, np.float32)
+        om = np.zeros(O, bool)
+        obs_refs = []
+        n_obs = 0
+        for lm, li in lm_index.items():
+            for k, kpt in db.lm_obs[lm].items():
+                ci = cam_index.get(k)
+                if ci is None or n_obs >= O:
+                    continue
+                oc[n_obs] = ci
+                ol[n_obs] = li
+                ouv[n_obs] = db.kf_xy_undist[k][kpt]
+                osg[n_obs] = self.sigma2[db.kf_level[k][kpt]]
+                om[n_obs] = True
+                obs_refs.append((lm, k, kpt))
+                n_obs += 1
+        if n_obs < 10:
+            return
+        prob = BAProblem(
+            jnp.asarray(T), jnp.asarray(cam_opt), jnp.asarray(cam_valid),
+            jnp.asarray(X), jnp.asarray(lm_valid),
+            jnp.asarray(oc), jnp.asarray(ol), jnp.asarray(ouv),
+            jnp.asarray(osg), jnp.asarray(om),
+        )
+        res = self.local_ba(prob)
+        T_new = np.asarray(res.T_cw)
+        X_new = np.asarray(res.X)
+        inl = np.asarray(res.obs_inlier)
+        for k, i in cam_index.items():
+            if cam_opt[i]:
+                db.kf_pose_cw[k] = T_new[i]
+        for lm, i in lm_index.items():
+            if db.lm_valid[lm]:
+                db.lm_pos[lm] = X_new[i]
+        # remove outlier observations
+        for j in range(n_obs):
+            if not inl[j]:
+                lm, k, kpt = obs_refs[j]
+                db.erase_observation(lm, k)
+        for lm in lm_ids:
+            if db.lm_valid[lm]:
+                db.update_landmark_geometry(
+                    lm, self.cfg.feature.scale_factor, self.num_levels
+                )
+
+    # ------------------------------------------------------------------
+    # keyframe culling (ref remove_redundant_keyframes: 90% rule)
+    # ------------------------------------------------------------------
+    def remove_redundant_keyframes(self, cur_kf: int):
+        db = self.db
+        for k in db.get_top_covisible(cur_kf, 30):
+            if k == db.origin_kf or k == cur_kf or not db.kf_valid[k]:
+                continue
+            arr = db.kf_lm_idx[k]
+            kpts = np.where(arr >= 0)[0]
+            if len(kpts) < 10:
+                continue
+            n_redundant = 0
+            for i in kpts:
+                lm = int(arr[i])
+                if not db.lm_valid[lm]:
+                    continue
+                my_level = int(db.kf_level[k][i])
+                n_better = 0
+                for ok, okpt in db.lm_obs[lm].items():
+                    if ok == k:
+                        continue
+                    if int(db.kf_level[ok][okpt]) <= my_level + 1:
+                        n_better += 1
+                        if n_better >= 3:
+                            break
+                if n_better >= 3:
+                    n_redundant += 1
+            if n_redundant > self.cfg.mapping.redundant_obs_ratio_thr * len(kpts):
+                db.erase_keyframe(k)

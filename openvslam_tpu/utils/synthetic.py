@@ -69,3 +69,50 @@ def random_sim3(rng: np.random.Generator, max_angle=0.5, max_trans=1.0, scale_ra
     T = random_pose_cw(rng, max_angle, max_trans)
     s = rng.uniform(*scale_range)
     return T[:3, :3], T[:3, 3], s
+
+
+class PatchSceneRenderer:
+    """Deterministic synthetic image sequence with known ground truth.
+
+    A cloud of 3D points, each carrying a fixed random texture patch; a frame
+    renders every visible point's patch at its projected pixel location.
+    Patches give each feature a unique descriptor neighborhood (unlike plain
+    blobs) so ORB matching behaves realistically.  Ground-truth poses let
+    end-to-end tests assert ATE ~ 0 — the integration test the reference
+    lacked (SURVEY.md §4).
+    """
+
+    def __init__(self, rng: np.random.Generator, n_points=800,
+                 center=(0, 0, 6), extent=(7, 5, 2.5), patch=9,
+                 rows=480, cols=640):
+        self.points = landmark_cloud(rng, n_points, center, extent)
+        self.textures = rng.integers(40, 256, size=(n_points, patch, patch)).astype(np.uint8)
+        self.patch = patch
+        self.rows = rows
+        self.cols = cols
+
+    def render(self, cam, T_cw: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        img = np.zeros((self.rows, self.cols), np.uint8)
+        pc = (T_cw[:3, :3] @ self.points.T).T + T_cw[:3, 3]
+        uv, depth, valid = cam.project(jnp.asarray(pc, np.float32))
+        uv = np.asarray(uv)
+        depth = np.asarray(depth)
+        valid = np.asarray(valid)
+        r = self.patch // 2
+        order = np.argsort(-depth)          # far first so near patches overwrite
+        for i in order:
+            if not valid[i]:
+                continue
+            u, v = int(round(uv[i, 0])), int(round(uv[i, 1]))
+            y0, y1 = v - r, v + r + 1
+            x0, x1 = u - r, u + r + 1
+            ty0 = max(0, -y0); tx0 = max(0, -x0)
+            y0 = max(0, y0); x0 = max(0, x0)
+            y1 = min(self.rows, y1); x1 = min(self.cols, x1)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            tex = self.textures[i]
+            img[y0:y1, x0:x1] = tex[ty0:ty0 + (y1 - y0), tx0:tx0 + (x1 - x0)]
+        return img
