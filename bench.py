@@ -1,0 +1,114 @@
+"""Benchmark: tracked frames/s/chip on the fused per-frame tracking step.
+
+Runs the flagship FrameStep (pyramid+FAST+rBRIEF extraction, projection-gated
+MXU Hamming matching vs a 4096-landmark local map, 4x10 pose-only LM) on a
+rendered 640x480 synthetic sequence at the reference's config-1 settings
+(1000 ORB features, 8 levels).  Prints ONE JSON line:
+
+  {"metric": "tracked_frames_per_s_per_chip", "value": ..., "unit": "frames/s",
+   "vs_baseline": ...}
+
+Baseline: the reference's desktop-CPU tracking time is the 20-40 ms/frame
+class (BASELINE.md), i.e. ~30 fps; vs_baseline = ours / 30.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_FPS = 30.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from openvslam_tpu.camera import Perspective
+    from openvslam_tpu.models.frame_step import FrameStep
+    from openvslam_tpu.utils import synthetic
+
+    cam = Perspective.create(
+        fx=520.0, fy=520.0, cx=320.0, cy=240.0, cols=640, rows=480, fps=30.0,
+    )
+    fs = FrameStep(cam, max_keypts=1024, num_levels=8, lm_capacity=4096)
+
+    rng = np.random.default_rng(5)
+    scene = synthetic.PatchSceneRenderer(
+        rng, n_points=900, center=(0, 0, 6), extent=(7, 5, 2.5), rows=480, cols=640
+    )
+    n_frames = 40
+    poses = synthetic.orbit_trajectory(n_frames, radius=2.5, target=(0, 0, 6), arc=np.pi / 4)
+    images = [scene.render(cam, poses[i]) for i in range(n_frames)]
+
+    # local map: scene points with descriptors sampled from frame-0 extraction
+    kp0 = fs.frontend.extract(jnp.asarray(images[0]))
+    kp_xy = np.asarray(kp0.xy)
+    kp_valid = np.asarray(kp0.valid)
+    kp_desc = np.asarray(kp0.desc_i8)
+    pc0 = (poses[0][:3, :3] @ scene.points.T).T + poses[0][:3, 3]
+    uv0, _, vis0 = cam.project(jnp.asarray(pc0, jnp.float32))
+    uv0 = np.asarray(uv0)
+    vis0 = np.asarray(vis0)
+
+    L = fs.lm_capacity
+    lm_pos = np.zeros((L, 3), np.float32)
+    lm_desc = np.zeros((L, 256), np.int8)
+    lm_valid = np.zeros(L, bool)
+    n = 0
+    for i in np.where(vis0)[0]:
+        d = np.linalg.norm(kp_xy - uv0[i], axis=-1)
+        d[~kp_valid] = 1e9
+        j = int(np.argmin(d))
+        if d[j] < 3.0 and n < L:
+            lm_pos[n] = scene.points[i]
+            lm_desc[n] = kp_desc[j]
+            lm_valid[n] = True
+            n += 1
+    lm_lvl = np.full(L, -1, np.int32)
+
+    lm_pos_j = jnp.asarray(lm_pos)
+    lm_desc_j = jnp.asarray(lm_desc)
+    lm_valid_j = jnp.asarray(lm_valid)
+    lm_lvl_j = jnp.asarray(lm_lvl)
+
+    # warmup / compile
+    out = fs.step(jnp.asarray(images[0]),
+                  jnp.asarray(poses[0].astype(np.float32)),
+                  lm_pos_j, lm_desc_j, lm_valid_j, lm_lvl_j)
+    jax.block_until_ready(out)
+    inl0 = int(out.num_inliers)
+
+    # timed loop
+    reps = 3
+    t0 = time.perf_counter()
+    total = 0
+    for _ in range(reps):
+        for i in range(n_frames):
+            out = fs.step(jnp.asarray(images[i]),
+                          jnp.asarray(poses[i].astype(np.float32)),
+                          lm_pos_j, lm_desc_j, lm_valid_j, lm_lvl_j)
+            total += 1
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = total / dt
+
+    print(
+        f"[bench] {total} frames in {dt:.2f}s on {jax.devices()[0]}, "
+        f"frame-0 inliers={inl0}, landmarks={n}", file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "tracked_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
