@@ -1,0 +1,222 @@
+"""Vocabulary training + BoW database (host side).
+
+Replaces ``data/bow_vocabulary`` (DBoW2 wrapper) and ``data/bow_database``
+(inverted index; SURVEY.md §2.1).  The vocabulary is a flat set of W binary
+word centers trained by k-medians (bit-majority) — FBoW-style binary
+clustering.  Training data: any stack of packed/unpacked ORB descriptors; a
+deterministic synthetic-scene vocabulary is built on demand when no file is
+given (no network => no pretrained ~40MB DBoW2 file; see SURVEY.md §7 hard
+part 6).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+
+from ..ops import bow as bow_ops
+
+
+class Vocabulary:
+    def __init__(self, centers_i8: np.ndarray, idf: Optional[np.ndarray] = None):
+        self.centers_i8 = centers_i8.astype(np.int8)          # (W,256) in {0,1}
+        self.num_words = centers_i8.shape[0]
+        self.idf = (idf if idf is not None
+                    else np.ones(self.num_words, np.float32))
+
+    def save(self, path: str):
+        np.savez_compressed(path, centers=self.centers_i8, idf=self.idf)
+
+    @classmethod
+    def load(cls, path: str) -> "Vocabulary":
+        z = np.load(path)
+        return cls(z["centers"], z["idf"])
+
+    @classmethod
+    def train(cls, descs_i8: np.ndarray, num_words: int = 1024,
+              iters: int = 8, seed: int = 0) -> "Vocabulary":
+        """k-medians on binary descriptors: assignment by Hamming distance,
+        centers updated by per-bit majority vote."""
+        rng = np.random.default_rng(seed)
+        n = descs_i8.shape[0]
+        assert n >= num_words, "need more training descriptors than words"
+        centers = descs_i8[rng.choice(n, num_words, replace=False)].astype(np.int8)
+        d = descs_i8.astype(np.int32)
+        for _ in range(iters):
+            # Hamming via dot: d and centers in {0,1}
+            dots = d @ centers.astype(np.int32).T
+            na = d.sum(-1, keepdims=True)
+            nb = centers.astype(np.int32).sum(-1)[None, :]
+            dist = na + nb - 2 * dots
+            assign = dist.argmin(-1)
+            for w in range(num_words):
+                members = d[assign == w]
+                if len(members) == 0:
+                    centers[w] = d[rng.integers(0, n)]
+                else:
+                    centers[w] = (members.mean(0) > 0.5).astype(np.int8)
+        # idf from the training distribution
+        dots = d @ centers.astype(np.int32).T
+        na = d.sum(-1, keepdims=True)
+        nb = centers.astype(np.int32).sum(-1)[None, :]
+        assign = (na + nb - 2 * dots).argmin(-1)
+        counts = np.bincount(assign, minlength=num_words).astype(np.float64)
+        idf = np.log(n / np.maximum(counts, 1.0)).astype(np.float32)
+        return cls(centers, idf)
+
+
+_DEFAULT_VOCAB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "..",
+    "assets", "default_vocab.npz",
+)
+
+
+def default_vocabulary(num_words: int = 1024, cache_path: Optional[str] = None
+                       ) -> Vocabulary:
+    """Deterministic built-in vocabulary trained on synthetic-scene ORB
+    descriptors (cached to assets/)."""
+    path = cache_path or os.path.abspath(_DEFAULT_VOCAB_PATH)
+    if os.path.exists(path):
+        v = Vocabulary.load(path)
+        if v.num_words == num_words:
+            return v
+    import jax.numpy as jnp
+    from ..camera import Perspective
+    from ..models.frontend import OrbFrontend
+    from ..utils import synthetic
+
+    cam = Perspective.create(fx=350.0, fy=350.0, cx=208.0, cy=160.0,
+                             cols=416, rows=320)
+    fe = OrbFrontend(rows=320, cols=416, max_keypts=600, num_levels=4)
+    descs = []
+    rng = np.random.default_rng(123)
+    for s in range(6):
+        scene = synthetic.PatchSceneRenderer(rng, n_points=500, rows=320, cols=416)
+        poses = synthetic.orbit_trajectory(4, radius=2.0, target=(0, 0, 6))
+        for i in range(4):
+            img = scene.render(cam, poses[i])
+            kp = fe.extract(jnp.asarray(img))
+            v = np.asarray(kp.valid)
+            descs.append(np.asarray(kp.desc_i8)[v])
+    descs = np.concatenate(descs, 0)
+    vocab = Vocabulary.train(descs, num_words=num_words, iters=6)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    vocab.save(path)
+    return vocab
+
+
+class BowDatabase:
+    """Inverted index word -> keyframes + per-KF BoW vectors (host).
+
+    Implements the reference's two queries (``data/bow_database``):
+    relocalization candidates (shared-word gate + score) and loop candidates
+    (shared-word gate + min-score + covisibility-group accumulation).
+    """
+
+    def __init__(self, vocab: Vocabulary, map_db=None):
+        self.vocab = vocab
+        self.map_db = map_db
+        self.inverted: List[Set[int]] = [set() for _ in range(vocab.num_words)]
+        self.kf_words: Dict[int, np.ndarray] = {}     # kf -> (K,) word ids
+        self.kf_bow: Dict[int, np.ndarray] = {}       # kf -> (W,) tf-idf vec
+
+    # ------------------------------------------------------------------
+    def compute_words(self, desc_i8: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+        return np.asarray(bow_ops.assign_words(
+            jnp.asarray(desc_i8), jnp.asarray(self.vocab.centers_i8),
+            jnp.asarray(valid),
+        ))
+
+    def bow_vec(self, words: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+        return np.asarray(bow_ops.bow_vector(
+            jnp.asarray(words), jnp.asarray(self.vocab.idf), self.vocab.num_words
+        ))
+
+    def add_keyframe(self, kf: int, words: np.ndarray):
+        self.kf_words[kf] = words
+        self.kf_bow[kf] = self.bow_vec(words)
+        for w in np.unique(words[words >= 0]):
+            self.inverted[int(w)].add(kf)
+
+    def remove_keyframe(self, kf: int):
+        words = self.kf_words.pop(kf, None)
+        self.kf_bow.pop(kf, None)
+        if words is not None:
+            for w in np.unique(words[words >= 0]):
+                self.inverted[int(w)].discard(kf)
+
+    def score(self, a: int, b: int) -> float:
+        return float(1.0 - 0.5 * np.abs(self.kf_bow[a] - self.kf_bow[b]).sum())
+
+    def score_vec(self, v: np.ndarray, kf: int) -> float:
+        return float(1.0 - 0.5 * np.abs(v - self.kf_bow[kf]).sum())
+
+    # ------------------------------------------------------------------
+    def _shared_word_counts(self, words: np.ndarray, exclude: Set[int]):
+        counts: Dict[int, int] = {}
+        for w in np.unique(words[words >= 0]):
+            for kf in self.inverted[int(w)]:
+                if kf not in exclude:
+                    counts[kf] = counts.get(kf, 0) + 1
+        return counts
+
+    def acquire_relocalization_candidates(self, words: np.ndarray,
+                                          max_candidates: int = 10) -> List[int]:
+        counts = self._shared_word_counts(words, exclude=set())
+        if not counts:
+            return []
+        max_shared = max(counts.values())
+        thr = 0.8 * max_shared
+        v = self.bow_vec(words)
+        scored = [
+            (self.score_vec(v, kf), kf) for kf, c in counts.items() if c >= thr
+        ]
+        scored.sort(reverse=True)
+        return [kf for _, kf in scored[:max_candidates]]
+
+    def acquire_loop_candidates(self, kf: int, min_score: float,
+                                connected: Set[int],
+                                max_candidates: int = 10) -> List[int]:
+        """Shared-word gate + min-score + covisibility-group accumulated score
+        (the reference accumulates scores over each candidate's covisibles)."""
+        words = self.kf_words.get(kf)
+        if words is None:
+            return []
+        counts = self._shared_word_counts(words, exclude=connected | {kf})
+        if not counts:
+            return []
+        max_shared = max(counts.values())
+        thr = 0.8 * max_shared
+        first = [
+            (self.score(kf, cand), cand)
+            for cand, c in counts.items() if c >= thr
+        ]
+        first = [(s, c) for s, c in first if s >= min_score]
+        if not first:
+            return []
+        # accumulate over covisibility groups
+        best_of_group = {}
+        for s, cand in first:
+            group = [cand]
+            if self.map_db is not None:
+                group += self.map_db.get_top_covisible(cand, 10)
+            acc = 0.0
+            best_kf, best_s = cand, s
+            for g in group:
+                if g in self.kf_bow and g in counts:
+                    gs = self.score(kf, g)
+                    acc += gs
+                    if gs > best_s:
+                        best_kf, best_s = g, gs
+            best_of_group[best_kf] = max(best_of_group.get(best_kf, 0.0), acc)
+        if not best_of_group:
+            return []
+        best_acc = max(best_of_group.values())
+        out = [
+            c for c, acc in best_of_group.items() if acc >= 0.75 * best_acc
+        ]
+        out.sort(key=lambda c: -best_of_group[c])
+        return out[:max_candidates]

@@ -1,0 +1,289 @@
+"""Global optimization module (ref ``global_optimization_module.*``):
+loop detection -> Sim3 validation -> loop correction (pose/landmark
+propagation, duplicate replacement) -> Sim3 pose-graph optimization ->
+global BA (SURVEY.md §3.4).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..data.bow import BowDatabase, Vocabulary, default_vocabulary
+from ..ops import sim3 as sim3_ops
+from ..optimize.ba import BAProblem, make_global_ba
+from ..optimize.pose_graph import PoseGraphProblem, make_pose_graph_optimizer
+from .loop_detector import LoopDetector
+from .relocalizer import Relocalizer
+
+COVIS_GRAPH_EDGE_WEIGHT = 100   # reference: covisibility edges with w>=100
+
+
+class GlobalOptimizationModule:
+    def __init__(self, cfg, cam, map_db, vocab_path: Optional[str] = None,
+                 fix_scale: bool = False):
+        self.cfg = cfg
+        self.cam = cam
+        self.db = map_db
+        if vocab_path is None or vocab_path == "default":
+            vocab = default_vocabulary()
+        else:
+            vocab = Vocabulary.load(vocab_path)
+        self.bow_db = BowDatabase(vocab, map_db)
+        self.loop_detector = LoopDetector(cfg, cam, map_db, self.bow_db, fix_scale)
+        self.relocalizer = Relocalizer(cfg, cam, map_db, self.bow_db)
+        self.pose_graph_opt = make_pose_graph_optimizer(iters=20, cg_iters=60)
+        self.num_loops_closed = 0
+        self.last_loop_kf = -1
+        self.loop_enabled = cfg.loop.enabled
+        self._global_ba_cache = {}
+        nl = cfg.feature.num_levels
+        sf = cfg.feature.scale_factor
+        self.sigma2 = np.array([sf ** (2 * l) for l in range(nl)], np.float32)
+
+    # ------------------------------------------------------------------
+    def queue_keyframe(self, kf: int):
+        """Called by the mapping module for every new keyframe: compute BoW,
+        try loop detection + closure (synchronous pipeline stage)."""
+        db = self.db
+        # drop BoW entries of keyframes culled since the last call
+        for k in [k for k in self.bow_db.kf_words if not db.kf_valid[k]]:
+            self.bow_db.remove_keyframe(k)
+        words = self.bow_db.compute_words(db.kf_desc_i8[kf], db.kf_kpt_valid[kf])
+        self.bow_db.add_keyframe(kf, words)
+        if not self.loop_enabled:
+            return
+        if kf - self.last_loop_kf < 10:   # cooldown (ref: 10 KFs)
+            return
+        candidates = self.loop_detector.detect(kf)
+        for cand in candidates:
+            out = self.loop_detector.validate(
+                kf, cand, min_inliers=self.cfg.loop.min_num_valid_obs // 2
+            )
+            if out is None:
+                continue
+            R, t, s, mk, mc, lms_k, lms_c = out
+            self.correct_loop(kf, cand, (R, t, s), lms_k, lms_c)
+            self.last_loop_kf = kf
+            self.num_loops_closed += 1
+            return
+
+    # ------------------------------------------------------------------
+    def correct_loop(self, kf: int, cand: int, g_cur_from_cand, lms_k, lms_c):
+        db = self.db
+        R, t, s = g_cur_from_cand
+
+        # corrected Sim3 pose of current KF: S_cw = S(cur<-cand) * T_cand_w
+        T_cand = db.kf_pose_cw[cand]
+        g_cand = (jnp.asarray(T_cand[:3, :3]), jnp.asarray(T_cand[:3, 3]),
+                  jnp.float32(1.0))
+        g_corr_cur = sim3_ops.compose(
+            (jnp.asarray(R), jnp.asarray(t), jnp.float32(s)), g_cand
+        )
+
+        # propagate through the current covisibility group
+        group = [kf] + db.get_top_covisible(kf, 30)
+        T_cur_old = db.kf_pose_cw[kf].copy()
+        T_cur_old_inv = np.linalg.inv(T_cur_old)
+        corrected: Dict[int, tuple] = {}
+        for k2 in group:
+            T_k = db.kf_pose_cw[k2]
+            rel = T_k @ T_cur_old_inv                      # SE3 k<-cur
+            g_rel = (jnp.asarray(rel[:3, :3]), jnp.asarray(rel[:3, 3]),
+                     jnp.float32(1.0))
+            corrected[k2] = sim3_ops.compose(g_rel, g_corr_cur)
+
+        # correct group landmarks (through their observing KF) + poses
+        moved: Set[int] = set()
+        for k2 in group:
+            T_old = db.kf_pose_cw[k2].copy()
+            g_new = corrected[k2]
+            g_new_inv = sim3_ops.inverse(g_new)
+            arr = db.kf_lm_idx[k2]
+            lms = arr[arr >= 0]
+            lms = [l for l in lms if db.lm_valid[l] and l not in moved]
+            if lms:
+                X = db.lm_pos[np.array(lms)]
+                Xc = (T_old[:3, :3] @ X.T).T + T_old[:3, 3]
+                Xw = np.asarray(sim3_ops.transform(g_new_inv, jnp.asarray(Xc, jnp.float32)))
+                db.lm_pos[np.array(lms)] = Xw
+                moved.update(int(l) for l in lms)
+            db.kf_pose_cw[k2] = np.asarray(
+                sim3_ops.to_se3(*g_new), np.float32
+            )
+
+        # merge the directly matched duplicate landmark pairs
+        for lk, lc in zip(lms_k, lms_c):
+            lk, lc = int(lk), int(lc)
+            if lk != lc and db.lm_valid[lk] and db.lm_valid[lc]:
+                db.replace_landmark(lk, lc)   # keep the older (loop-side) lm
+        for k2 in group:
+            db.update_connections(k2, set_parent=False)
+
+        db.add_loop_edge(kf, cand)
+        self._optimize_pose_graph(fixed_kf=cand)
+        self.run_global_ba()
+
+    # ------------------------------------------------------------------
+    def _optimize_pose_graph(self, fixed_kf: int):
+        db = self.db
+        ids = db.valid_kf_ids()
+        n = len(ids)
+        if n < 3:
+            return
+        index = {int(k): i for i, k in enumerate(ids)}
+        N = max(8, 1 << int(np.ceil(np.log2(n))))
+        Rn = np.tile(np.eye(3, dtype=np.float32), (N, 1, 1))
+        tn = np.zeros((N, 3), np.float32)
+        sn = np.ones(N, np.float32)
+        node_valid = np.zeros(N, bool)
+        node_fixed = np.zeros(N, bool)
+        T_old = {}
+        for k, i in index.items():
+            T = db.kf_pose_cw[k]
+            T_old[k] = T.copy()
+            Rn[i] = T[:3, :3]
+            tn[i] = T[:3, 3]
+            node_valid[i] = True
+        node_fixed[index[int(fixed_kf)]] = True
+
+        # edges: spanning tree + loop edges + strong covisibility
+        edges = set()
+        for k in ids:
+            k = int(k)
+            p = int(db.parent[k])
+            if p >= 0 and p in index:
+                edges.add((min(k, p), max(k, p)))
+            for le in db.loop_edges[k]:
+                if le in index:
+                    edges.add((min(k, le), max(k, le)))
+            for nb, w in db.covis[k].items():
+                if w >= COVIS_GRAPH_EDGE_WEIGHT and nb in index:
+                    edges.add((min(k, nb), max(k, nb)))
+        edges = sorted(edges)
+        E = max(8, 1 << int(np.ceil(np.log2(max(len(edges), 2)))))
+        e_i = np.zeros(E, np.int32)
+        e_j = np.zeros(E, np.int32)
+        e_R = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+        e_t = np.zeros((E, 3), np.float32)
+        e_s = np.ones(E, np.float32)
+        e_mask = np.zeros(E, bool)
+        for a, (ka, kb) in enumerate(edges):
+            ia, ib = index[ka], index[kb]
+            # measurement S_ji = S_j * S_i^-1 from current (corrected) poses
+            Ti = db.kf_pose_cw[ka]
+            Tj = db.kf_pose_cw[kb]
+            rel = Tj @ np.linalg.inv(Ti)
+            e_i[a], e_j[a] = ia, ib
+            e_R[a] = rel[:3, :3]
+            e_t[a] = rel[:3, 3]
+            e_mask[a] = True
+
+        prob = PoseGraphProblem(
+            jnp.asarray(Rn), jnp.asarray(tn), jnp.asarray(sn),
+            jnp.asarray(node_valid), jnp.asarray(node_fixed),
+            jnp.asarray(e_i), jnp.asarray(e_j),
+            jnp.asarray(e_R), jnp.asarray(e_t), jnp.asarray(e_s),
+            jnp.asarray(e_mask),
+        )
+        R_o, t_o, s_o, cost = self.pose_graph_opt(prob)
+        R_o = np.asarray(R_o)
+        t_o = np.asarray(t_o)
+        s_o = np.asarray(s_o)
+
+        # write back poses (Sim3 -> SE3 rescale) and correct landmarks via
+        # their reference keyframe (ref graph_optimizer landmark pass)
+        T_new = {}
+        for k, i in index.items():
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R_o[i]
+            T[:3, 3] = t_o[i] / max(s_o[i], 1e-9)
+            T_new[k] = T
+        for lm in db.valid_lm_ids():
+            ref = int(db.lm_ref_kf[lm])
+            if ref not in index:
+                continue
+            X = db.lm_pos[lm]
+            Xc = T_old[ref][:3, :3] @ X + T_old[ref][:3, 3]
+            # new world position: invert the corrected Sim3 of the ref KF
+            g_inv = sim3_ops.inverse(
+                (jnp.asarray(R_o[index[ref]]), jnp.asarray(t_o[index[ref]]),
+                 jnp.float32(s_o[index[ref]]))
+            )
+            db.lm_pos[lm] = np.asarray(
+                sim3_ops.transform(g_inv, jnp.asarray(Xc, jnp.float32))
+            )
+        for k in index:
+            db.kf_pose_cw[k] = T_new[k]
+        for k in index:
+            db.update_connections(int(k), set_parent=False)
+
+    # ------------------------------------------------------------------
+    def run_global_ba(self, iters: int = 10):
+        """Full-map BA (ref loop_bundle_adjuster; synchronous here, abortable
+        by iteration budget)."""
+        db = self.db
+        kf_ids = db.valid_kf_ids()
+        lm_ids = db.valid_lm_ids()
+        n_c, n_l = len(kf_ids), len(lm_ids)
+        if n_c < 3 or n_l < 30:
+            return
+        C = max(8, 1 << int(np.ceil(np.log2(n_c))))
+        L = max(64, 1 << int(np.ceil(np.log2(n_l))))
+        cam_index = {int(k): i for i, k in enumerate(kf_ids)}
+        lm_index = {int(l): i for i, l in enumerate(lm_ids)}
+        n_obs_total = int(db.lm_num_obs[lm_ids].sum())
+        O = max(256, 1 << int(np.ceil(np.log2(max(n_obs_total, 2)))))
+
+        T = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+        cam_opt = np.zeros(C, bool)
+        cam_valid = np.zeros(C, bool)
+        for k, i in cam_index.items():
+            T[i] = db.kf_pose_cw[k]
+            cam_valid[i] = True
+            cam_opt[i] = k != db.origin_kf
+        X = np.zeros((L, 3), np.float32)
+        lm_valid = np.zeros(L, bool)
+        for l, i in lm_index.items():
+            X[i] = db.lm_pos[l]
+            lm_valid[i] = True
+        oc = np.zeros(O, np.int32)
+        ol = np.zeros(O, np.int32)
+        ouv = np.zeros((O, 2), np.float32)
+        osg = np.ones(O, np.float32)
+        om = np.zeros(O, bool)
+        n_obs = 0
+        for l, li in lm_index.items():
+            for k, kpt in db.lm_obs[l].items():
+                ci = cam_index.get(k)
+                if ci is None or n_obs >= O:
+                    continue
+                oc[n_obs] = ci
+                ol[n_obs] = li
+                ouv[n_obs] = db.kf_xy_undist[k][kpt]
+                osg[n_obs] = self.sigma2[db.kf_level[k][kpt]]
+                om[n_obs] = True
+                n_obs += 1
+
+        key = (C, L, O)
+        if key not in self._global_ba_cache:
+            self._global_ba_cache[key] = make_global_ba(
+                self.cam, iters=iters, cg_iters=30
+            )
+        ba = self._global_ba_cache[key]
+        prob = BAProblem(
+            jnp.asarray(T), jnp.asarray(cam_opt), jnp.asarray(cam_valid),
+            jnp.asarray(X), jnp.asarray(lm_valid),
+            jnp.asarray(oc), jnp.asarray(ol), jnp.asarray(ouv),
+            jnp.asarray(osg), jnp.asarray(om),
+        )
+        res = ba(prob)
+        T_new = np.asarray(res.T_cw)
+        X_new = np.asarray(res.X)
+        for k, i in cam_index.items():
+            if cam_opt[i]:
+                db.kf_pose_cw[k] = T_new[i]
+        for l, i in lm_index.items():
+            if db.lm_valid[l]:
+                db.lm_pos[l] = X_new[i]

@@ -1,0 +1,138 @@
+"""Loop detector (ref ``module/loop_detector``): BoW candidates gated by the
+covisibility min-score, continuity check over consecutive keyframes, then
+Sim3 validation (word-gated match -> Horn RANSAC -> Sim3 refine -> projection
+widen -> inlier gate).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Set, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import bow as bow_ops
+from ..ops import match as M
+from ..ops import ransac, solvers, sim3
+from ..optimize.sim3_transform import make_sim3_transform_optimizer
+
+
+class LoopDetector:
+    def __init__(self, cfg, cam, map_db, bow_db, fix_scale: bool = False):
+        self.cfg = cfg
+        self.cam = cam
+        self.db = map_db
+        self.bow_db = bow_db
+        self.fix_scale = fix_scale
+        self.cont_groups: List[Tuple[Set[int], int]] = []   # (group KFs, chain len)
+        self.sim3_opt = make_sim3_transform_optimizer(cam, fix_scale=fix_scale)
+        self.key = jax.random.PRNGKey(23)
+        self.min_continuity = cfg.loop.min_continuity
+
+    # ------------------------------------------------------------------
+    def detect(self, kf: int) -> List[int]:
+        """Returns continuity-validated loop candidates for keyframe kf."""
+        db = self.db
+        covis = db.get_top_covisible(kf, 30)
+        if not covis:
+            self.cont_groups = []
+            return []
+        min_score = min(self.bow_db.score(kf, c) for c in covis
+                        if c in self.bow_db.kf_bow)
+        connected = set(covis) | {kf}
+        cands = self.bow_db.acquire_loop_candidates(kf, min_score, connected)
+        if not cands:
+            self.cont_groups = []
+            return []
+        # continuity: a candidate's group must intersect a previous group
+        validated = []
+        new_groups: List[Tuple[Set[int], int]] = []
+        for cand in cands:
+            group = set([cand] + db.get_top_covisible(cand, 10))
+            chain = 0
+            for prev_group, prev_chain in self.cont_groups:
+                if group & prev_group:
+                    chain = max(chain, prev_chain + 1)
+            new_groups.append((group, chain))
+            if chain >= self.min_continuity - 1:
+                validated.append(cand)
+        self.cont_groups = new_groups
+        return validated
+
+    # ------------------------------------------------------------------
+    def validate(self, kf: int, cand: int, min_inliers: int = 20):
+        """Sim3 validation: returns (R, t, s) of T_cur<-cand (candidate camera
+        coords -> current camera coords) and matched lm pairs, or None."""
+        db = self.db
+        words_k = self.bow_db.kf_words[kf]
+        words_c = self.bow_db.kf_words[cand]
+        has_lm_k = (db.kf_lm_idx[kf] >= 0) & db.kf_kpt_valid[kf]
+        has_lm_c = (db.kf_lm_idx[cand] >= 0) & db.kf_kpt_valid[cand]
+        gate = bow_ops.word_gate(jnp.asarray(words_k), jnp.asarray(words_c))
+        idx, dist = M.match_descriptors(
+            jnp.asarray(db.kf_desc_i8[kf]), jnp.asarray(db.kf_desc_i8[cand]),
+            jnp.asarray(has_lm_k), jnp.asarray(has_lm_c),
+            gate=gate, max_dist=M.HAMMING_DIST_THR_LOW, ratio=0.9,
+            cross_check=True,
+        )
+        idx = np.asarray(idx)
+        mk = np.where(idx >= 0)[0]
+        if len(mk) < self.cfg.loop.min_num_bow_matches:
+            return None
+        mc = idx[mk]
+        lms_k = db.kf_lm_idx[kf][mk]
+        lms_c = db.kf_lm_idx[cand][mc]
+        ok = np.array([
+            lk >= 0 and lc >= 0 and db.lm_valid[lk] and db.lm_valid[lc]
+            for lk, lc in zip(lms_k, lms_c)
+        ])
+        mk, mc, lms_k, lms_c = mk[ok], mc[ok], lms_k[ok], lms_c[ok]
+        n = len(mk)
+        if n < self.cfg.loop.min_num_bow_matches:
+            return None
+
+        T_k = db.kf_pose_cw[kf]
+        T_c = db.kf_pose_cw[cand]
+        pk = (T_k[:3, :3] @ db.lm_pos[lms_k].T).T + T_k[:3, 3]   # in cur cam
+        pc = (T_c[:3, :3] @ db.lm_pos[lms_c].T).T + T_c[:3, 3]   # in cand cam
+
+        cap = max(64, 1 << int(np.ceil(np.log2(max(n, 2)))))
+        p1 = np.zeros((cap, 3), np.float32)
+        p2 = np.zeros((cap, 3), np.float32)
+        pmask = np.zeros(cap, bool)
+        p1[:n] = pc          # candidate-frame coords (source)
+        p2[:n] = pk          # current-frame coords (target)
+        pmask[:n] = True
+        self.key, k = jax.random.split(self.key)
+        p1j, p2j, mj = jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(pmask)
+        # RANSAC over Horn 3-point fits; threshold scaled by scene depth
+        med_depth = float(np.median(pk[:, 2])) if n else 1.0
+        thr = (0.05 * med_depth) ** 2
+        g, score, inl = ransac.run_ransac(
+            k,
+            lambda i: solvers.fit_sim3_horn(p1j[i], p2j[i], fix_scale=self.fix_scale),
+            lambda g: solvers.score_sim3(g, p1j, p2j, mj, thr),
+            mj, 128, 3,
+        )
+        if int(np.asarray(inl).sum()) < 10:
+            return None
+        # refine with mutual reprojection (uses keypoint observations)
+        uv1 = np.zeros((cap, 2), np.float32)
+        uv2 = np.zeros((cap, 2), np.float32)
+        s2_1 = np.ones(cap, np.float32)
+        s2_2 = np.ones(cap, np.float32)
+        uv1[:n] = db.kf_xy_undist[kf][mk]
+        uv2[:n] = db.kf_xy_undist[cand][mc]
+        sf = self.cfg.feature.scale_factor
+        s2_1[:n] = (sf ** db.kf_level[kf][mk]) ** 2
+        s2_2[:n] = (sf ** db.kf_level[cand][mc]) ** 2
+        res = self.sim3_opt(
+            g[0], g[1], g[2],
+            p2j, p1j,                     # lm1 = cur-frame coords, lm2 = cand
+            jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(s2_1), jnp.asarray(s2_2), mj,
+        )
+        if int(res.num_inliers) < min_inliers:
+            return None
+        return (np.asarray(res.R), np.asarray(res.t), float(res.s),
+                mk, mc, lms_k, lms_c)

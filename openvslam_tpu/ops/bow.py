@@ -1,0 +1,64 @@
+"""FBoW-style bag-of-words operations, TPU-native.
+
+The reference wraps a DBoW2-fork vocabulary (~1M-leaf tree, greedy descent
+per descriptor; SURVEY.md §2.1 BoW vocabulary row, §0 deviation note).  The
+TPU-native formulation is FLAT: W binary word centers, and word assignment is
+one MXU Hamming matmul + argmin — exact nearest-word quantization (better
+than greedy tree descent) and two orders of magnitude fewer instructions
+than pointer-chasing a tree.
+
+The reference's "direct index at tree level l" used by match::bow_tree
+becomes a word-equality gate on the full Hamming matrix — the same
+candidate-restriction semantics, as one fused mask.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def assign_words(desc_i8: jnp.ndarray, centers_i8: jnp.ndarray,
+                 valid: jnp.ndarray) -> jnp.ndarray:
+    """(K,256) descriptors x (W,256) centers -> (K,) word ids (-1 invalid)."""
+    dots = jax.lax.dot_general(
+        desc_i8, centers_i8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    na = jnp.sum(desc_i8.astype(jnp.int32), -1)
+    nb = jnp.sum(centers_i8.astype(jnp.int32), -1)
+    d = na[:, None] + nb[None, :] - 2 * dots
+    w = jnp.argmin(d, -1).astype(jnp.int32)
+    return jnp.where(valid, w, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_words",))
+def bow_vector(word_ids: jnp.ndarray, idf: jnp.ndarray, num_words: int):
+    """tf-idf BoW vector (W,), L1-normalized (DBoW2 scoring convention)."""
+    ok = word_ids >= 0
+    hist = jnp.zeros(num_words, jnp.float32).at[jnp.clip(word_ids, 0)].add(
+        ok.astype(jnp.float32)
+    )
+    v = hist * idf
+    s = jnp.sum(jnp.abs(v))
+    return v / jnp.maximum(s, 1e-12)
+
+
+@jax.jit
+def l1_score(v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
+    """DBoW2 L1 similarity: 1 - 0.5*|v1 - v2|_1 for L1-normalized vectors."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2))
+
+
+@jax.jit
+def l1_scores_batch(v: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
+    """(W,) query vs (N,W) database -> (N,) scores."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(db - v[None, :]), -1)
+
+
+def word_gate(words_a: jnp.ndarray, words_b: jnp.ndarray) -> jnp.ndarray:
+    """(N,),(M,) -> (N,M) bool gate: same (valid) word (ref match::bow_tree)."""
+    return (words_a[:, None] == words_b[None, :]) & (words_a >= 0)[:, None]

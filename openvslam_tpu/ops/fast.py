@@ -35,49 +35,49 @@ def _shifted(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return jnp.roll(img, (-dy, -dx), axis=(0, 1))
 
 
-def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """(H,W) f32 -> (H,W) f32 corner response (0 where not a corner).
+def _arc_score(diff: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Segment-test score from the ring difference tensor (H,W,16).
 
-    Score = max over (bright, dark) of the arc-sum of |p_i - p| - t over the
-    qualifying contiguous arc (an OpenCV-style response, used only for NMS
-    and ranking so exact equality with cv2 is not required).
-    """
-    p = img
-    t = jnp.float32(threshold)
-    ring = jnp.stack([_shifted(img, dy, dx) for dy, dx in _CIRCLE], axis=-1)  # (H,W,16)
-    diff = ring - p[..., None]
-    brighter = diff > t
-    darker = diff < -t
+    Score = max over (bright, dark) arcs of the windowed sum of |diff|-t over
+    any contiguous run of >= _ARC ring pixels (OpenCV-style response; used for
+    NMS/ranking only, exact cv2 equality not required)."""
 
-    def arc_exists_and_score(flags, mag):
-        # flags: (H,W,16) bool; contiguous run of >= _ARC in circular order.
-        f = jnp.concatenate([flags, flags[..., : _ARC - 1]], axis=-1).astype(jnp.float32)
+    def arc(mag):
+        # mag > 0 exactly where the pixel passes the threshold
         m = jnp.concatenate([mag, mag[..., : _ARC - 1]], axis=-1)
-        # windowed AND / SUM over length-_ARC windows via cumulative sums
+        f = (m > 0.0).astype(jnp.float32)
         cf = jnp.cumsum(f, axis=-1)
         cf = jnp.concatenate([jnp.zeros_like(cf[..., :1]), cf], axis=-1)
-        wf = cf[..., _ARC:] - cf[..., :-_ARC]          # (H,W,16) count in window
+        wf = cf[..., _ARC:] - cf[..., :-_ARC]
         cm = jnp.cumsum(m, axis=-1)
         cm = jnp.concatenate([jnp.zeros_like(cm[..., :1]), cm], axis=-1)
-        wm = cm[..., _ARC:] - cm[..., :-_ARC]          # windowed magnitude sum
-        ok = wf >= _ARC
-        score = jnp.max(jnp.where(ok, wm, 0.0), axis=-1)
-        return score
+        wm = cm[..., _ARC:] - cm[..., :-_ARC]
+        return jnp.max(jnp.where(wf >= _ARC, wm, 0.0), axis=-1)
 
-    bright_mag = jnp.maximum(diff - t, 0.0)
-    dark_mag = jnp.maximum(-diff - t, 0.0)
-    score = jnp.maximum(
-        arc_exists_and_score(brighter, bright_mag),
-        arc_exists_and_score(darker, dark_mag),
-    )
-    # zero the border (rolled wrap-around is invalid there)
+    bright = arc(jnp.maximum(diff - t, 0.0))
+    dark = arc(jnp.maximum(-diff - t, 0.0))
+    return jnp.maximum(bright, dark)
+
+
+def fast_score_maps(img: jnp.ndarray, thresholds) -> list:
+    """(H,W) f32 -> per-threshold (H,W) response maps, sharing the ring
+    tensor (one set of shifts/diffs for all thresholds)."""
+    ring = jnp.stack([_shifted(img, dy, dx) for dy, dx in _CIRCLE], axis=-1)
+    diff = ring - img[..., None]
     h, w = img.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     inside = (
         (yy >= _BORDER) & (yy < h - _BORDER) & (xx >= _BORDER) & (xx < w - _BORDER)
     )
-    return jnp.where(inside, score, 0.0)
+    return [
+        jnp.where(inside, _arc_score(diff, jnp.float32(t)), 0.0) for t in thresholds
+    ]
+
+
+def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Single-threshold convenience wrapper around fast_score_maps."""
+    return fast_score_maps(img, [threshold])[0]
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
@@ -104,8 +104,7 @@ def detect_level(
 
     Returns (xy (max_pts,2) f32, response (max_pts,) f32, valid (max_pts,) bool).
     """
-    s_hi = fast_score_map(img, ini_threshold)
-    s_lo = fast_score_map(img, min_threshold)
+    s_hi, s_lo = fast_score_maps(img, [ini_threshold, min_threshold])
     # prefer hi-threshold corners: they get a large additive bonus, lo-only
     # corners survive where no hi response exists (the reference's fallback).
     bonus = jnp.float32(1e4)

@@ -22,9 +22,12 @@ import jax.numpy as jnp
 
 LARGE = jnp.int32(1 << 20)
 
-# reference thresholds (match/base.h HAMMING_DIST usage)
-HAMMING_DIST_THR_LOW = 50
-HAMMING_DIST_THR_HIGH = 100
+# Acceptance thresholds.  The reference uses 50/100 for OpenCV's learned
+# bit_pattern_31; our decorrelated synthetic-learned pattern (ops/orb.py) has
+# tighter statistics (true matches median ~20, random pairs p02 ~ 36, measured
+# in tools/make_brief_pattern.py conditions), so the gates are recalibrated.
+HAMMING_DIST_THR_LOW = 30
+HAMMING_DIST_THR_HIGH = 50
 MAX_HAMMING_DIST = 256
 
 

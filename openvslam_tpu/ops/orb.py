@@ -6,14 +6,18 @@ gathers + elementwise math over a fixed keypoint capacity, not a per-keypoint
 loop.
 
 Deviation note: the reference uses the learned ``bit_pattern_31`` test pairs.
-We generate a fixed Gaussian-sampled 256-pair pattern (Calonder-style BRIEF,
-sigma = patch/5) from a hard-coded seed.  The system is self-consistent (we
-never need to match against OpenCV descriptors) and the pattern choice is
-validated behaviorally: matching under known warps + end-to-end ATE.
-Orientation steering rotates the pattern continuously instead of the
-reference's 30-degree lookup discretization — strictly more accurate.
+We re-run ORB's pattern-learning procedure ourselves on synthetic patches
+(tools/make_brief_pattern.py: candidate pairs in the patch disc, keep 256
+tests with mean ~ 0.5 and low mutual correlation) and ship the result as
+assets/brief_pattern.npy.  The system is self-consistent (we never need to
+match against OpenCV descriptors) and the pattern is validated behaviorally:
+matching under known warps, Hamming-distance separation statistics, and
+end-to-end ATE.  Orientation steering rotates the pattern continuously
+instead of the reference's 30-degree lookup discretization.
 """
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import jax
@@ -23,14 +27,24 @@ PATCH_RADIUS = 15          # IC-angle patch (ref: r=15 -> 31x31)
 DESC_BITS = 256
 
 # ---------------------------------------------------------------------------
-# fixed test pattern (deterministic; see deviation note above)
+# fixed test pattern (deterministic; see deviation note above).  Preferred:
+# the decorrelated pattern learned offline on synthetic patches by
+# tools/make_brief_pattern.py (ORB's selection procedure re-run); fallback:
+# Gaussian BRIEF if the asset is missing.
 # ---------------------------------------------------------------------------
-_pat_rng = np.random.default_rng(0x0B1EF)
-_sigma = (2 * PATCH_RADIUS + 1) / 5.0
-_pattern = np.clip(
-    _pat_rng.normal(0.0, _sigma, size=(DESC_BITS, 2, 2)),
-    -PATCH_RADIUS + 1, PATCH_RADIUS - 1,
+_PATTERN_ASSET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "brief_pattern.npy",
 )
+if os.path.exists(_PATTERN_ASSET):
+    _pattern = np.load(_PATTERN_ASSET)
+else:  # pragma: no cover - fallback for fresh checkouts
+    _pat_rng = np.random.default_rng(0x0B1EF)
+    _sigma = (2 * PATCH_RADIUS + 1) / 5.0
+    _pattern = np.clip(
+        _pat_rng.normal(0.0, _sigma, size=(DESC_BITS, 2, 2)),
+        -PATCH_RADIUS + 1, PATCH_RADIUS - 1,
+    )
 BRIEF_PATTERN = jnp.asarray(_pattern, jnp.float32)  # (256, 2 points, xy)
 
 # circular IC-angle patch offsets: all (dx, dy) with dx^2+dy^2 <= r^2
@@ -63,13 +77,49 @@ def _gather_bilinear(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _gather_nearest(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor sample (what OpenCV's ORB does for the test pattern)."""
+    h, w = img.shape
+    x = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, h - 1)
+    return img[y, x]
+
+
+# IC-angle moment kernels: the per-keypoint circular-patch sums m10/m01 are
+# cross-correlations of the image with fixed dx/dy kernels — two 31x31 convs
+# on the MXU replace ~1k gathers per keypoint (the reference's per-keypoint
+# scalar loop maps terribly to TPU; this is the TPU-native formulation).
+_mask = np.zeros((2 * PATCH_RADIUS + 1,) * 2, np.float32)
+for _dy in range(-PATCH_RADIUS, PATCH_RADIUS + 1):
+    for _dx in range(-PATCH_RADIUS, PATCH_RADIUS + 1):
+        if _dx * _dx + _dy * _dy <= PATCH_RADIUS * PATCH_RADIUS:
+            _mask[_dy + PATCH_RADIUS, _dx + PATCH_RADIUS] = 1.0
+_xx = np.arange(-PATCH_RADIUS, PATCH_RADIUS + 1, dtype=np.float32)
+_K10 = jnp.asarray(_mask * _xx[None, :])      # weight = dx
+_K01 = jnp.asarray(_mask * _xx[:, None])      # weight = dy
+
+
+def ic_moment_maps(img: jnp.ndarray):
+    """(H,W) -> (m10 (H,W), m01 (H,W)) via two dense convolutions."""
+    x = img[None, None, :, :]
+    k = jnp.stack([_K10, _K01])[:, None, :, :]           # (2,1,31,31)
+    out = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="SAME",
+    )[0]
+    return out[0], out[1]
+
+
+def ic_angles_from_maps(m10: jnp.ndarray, m01: jnp.ndarray, xy: jnp.ndarray):
+    """Orientation at keypoints from precomputed moment maps (one gather each)."""
+    a10 = _gather_nearest(m10, xy)
+    a01 = _gather_nearest(m01, xy)
+    return jnp.arctan2(a01, a10)
+
+
 def ic_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid orientation at keypoints xy (N,2) -> angles (N,) rad."""
-    pts = xy[:, None, :] + IC_OFFSETS[None, :, :]       # (N, P, 2)
-    vals = _gather_bilinear(img, pts)                    # (N, P)
-    m10 = jnp.sum(vals * IC_OFFSETS[None, :, 0], -1)
-    m01 = jnp.sum(vals * IC_OFFSETS[None, :, 1], -1)
-    return jnp.arctan2(m01, m10)
+    m10, m01 = ic_moment_maps(img)
+    return ic_angles_from_maps(m10, m01, xy)
 
 
 def brief_descriptors(
@@ -88,7 +138,7 @@ def brief_descriptors(
     rx = c[:, None, None] * px - s[:, None, None] * py
     ry = s[:, None, None] * px + c[:, None, None] * py
     pts = jnp.stack([rx, ry], -1) + xy[:, None, None, :]      # (N,256,2,2)
-    vals = _gather_bilinear(img_blurred, pts)                 # (N,256,2)
+    vals = _gather_nearest(img_blurred, pts)                  # (N,256,2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)   # (N,256)
     # pack 256 bits -> 8 u32 words
     n = bits.shape[0]

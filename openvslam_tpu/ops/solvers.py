@@ -265,23 +265,20 @@ def fit_pnp_dlt(bearings: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     theta = _smallest_right_singular(A)
     Rt = theta.reshape(3, 4)
     Rraw = Rt[:, :3]
-    t = Rt[:, 3]
-    # scale: rotation part must have unit singular values
+    t_raw = Rt[:, 3]
+    # The DLT solution is defined up to a signed scale.  Resolve the SIGN
+    # first via cheirality (depth along the observed bearings must be
+    # positive for most points) — projecting a negatively-scaled matrix onto
+    # SO(3) directly would mangle the rotation.
+    lam = jnp.sum(bearings * (points @ Rraw.T + t_raw), -1)
+    sgn = jnp.where(jnp.sum(jnp.sign(lam)) < 0, -1.0, 1.0)
+    Rraw = sgn * Rraw
+    t_raw = sgn * t_raw
     U, S, Vt = jnp.linalg.svd(Rraw)
     scale = jnp.mean(S)
     det = jnp.linalg.det(U @ Vt)
     R = (U * jnp.array([1.0, 1.0, 1.0], Rraw.dtype).at[2].set(det)[None, :]) @ Vt
-    sign = jnp.sign(det) * jnp.sign(scale)
-    t = t / jnp.maximum(scale, _EPS)
-    # resolve overall sign via cheirality: most points must have positive depth
-    depths = (points @ R.T + t)[..., 2]
-    flip = jnp.sum(jnp.sign(jnp.sum(bearings * (points @ R.T + t), -1))) < 0
-    R = jnp.where(flip, -R, R)
-    t = jnp.where(flip, -t, t)
-    # re-project to SO(3) after potential negation
-    det2 = jnp.linalg.det(R)
-    R = jnp.where(det2 < 0, -R, R)
-    del depths, sign
+    t = t_raw / jnp.maximum(scale, _EPS)
     return se3.from_Rt(R, t)
 
 

@@ -40,7 +40,7 @@ class System:
         )
         self.map_db = MapDatabase(kpt_capacity=self.frontend.capacity)
         self.global_optimizer = None
-        if cfg.loop.enabled and vocab_path is not None:
+        if vocab_path is not None:
             from .module.global_optimization_module import GlobalOptimizationModule
             self.global_optimizer = GlobalOptimizationModule(
                 cfg, self.cam, self.map_db, vocab_path
