@@ -324,6 +324,63 @@ class MapDatabase:
         self.loop_edges[b].add(a)
 
     # ------------------------------------------------------------------
+    # multi-session merge
+    # ------------------------------------------------------------------
+    def absorb(self, other: "MapDatabase"):
+        """Copy every valid keyframe/landmark of `other` into this database
+        (observations, covisibility, spanning tree preserved; ids remapped).
+
+        The absorbed sub-map keeps its own coordinate frame — loop-closure
+        machinery (Sim3 validation + correction) is what aligns it.  Returns
+        (kf_map, lm_map): old id -> new id.
+        """
+        assert other.K == self.K
+        kf_map: Dict[int, int] = {}
+        lm_map: Dict[int, int] = {}
+        for kf in other.valid_kf_ids():
+            kf = int(kf)
+            new = self.n_kfs
+            assert new < self.max_kfs
+            self.n_kfs += 1
+            self.kf_valid[new] = True
+            self.kf_pose_cw[new] = other.kf_pose_cw[kf]
+            self.kf_timestamp[new] = other.kf_timestamp[kf]
+            self.kf_src_frame[new] = other.kf_src_frame[kf]
+            for col in ("kf_xy", "kf_xy_undist", "kf_bearing", "kf_level",
+                        "kf_angle", "kf_desc_u32", "kf_desc_i8",
+                        "kf_kpt_valid", "kf_x_right", "kf_depth"):
+                getattr(self, col)[new] = getattr(other, col)[kf].copy()
+            self.kf_lm_idx[new] = np.full(self.K, -1, np.int32)
+            self.covis[new] = {}
+            self.covis_ordered[new] = np.zeros(0, np.int32)
+            self.children[new] = set()
+            self.loop_edges[new] = set()
+            kf_map[kf] = new
+        for lm in other.valid_lm_ids():
+            lm = int(lm)
+            ref = other.lm_ref_kf[lm]
+            new = self.add_landmark(
+                other.lm_pos[lm], other.lm_desc_u32[lm], other.lm_desc_i8[lm],
+                kf_map.get(int(ref), -1),
+            )
+            self.lm_normal[new] = other.lm_normal[lm]
+            self.lm_min_dist[new] = other.lm_min_dist[lm]
+            self.lm_max_dist[new] = other.lm_max_dist[lm]
+            self.lm_n_visible[new] = other.lm_n_visible[lm]
+            self.lm_n_found[new] = other.lm_n_found[lm]
+            lm_map[lm] = new
+            for kf, idx in (other.lm_obs[lm] or {}).items():
+                if kf in kf_map:
+                    self.add_observation(new, kf_map[kf], idx)
+        for old_kf, new_kf in kf_map.items():
+            p = int(other.parent[old_kf])
+            if p in kf_map:
+                self.parent[new_kf] = kf_map[p]
+                self.children[kf_map[p]].add(new_kf)
+            self.update_connections(new_kf, set_parent=False)
+        return kf_map, lm_map
+
+    # ------------------------------------------------------------------
     # local map acquisition (ref module/local_map_updater)
     # ------------------------------------------------------------------
     def acquire_local_map(self, seed_lms: np.ndarray, max_kfs: int = 60):

@@ -70,7 +70,11 @@ class GlobalOptimizationModule:
             return
 
     # ------------------------------------------------------------------
-    def correct_loop(self, kf: int, cand: int, g_cur_from_cand, lms_k, lms_c):
+    def correct_loop(self, kf: int, cand: int, g_cur_from_cand, lms_k, lms_c,
+                     group=None):
+        """group: the drifted keyframe set to propagate through (defaults to
+        kf's covisibility group, the reference behavior — snapshotted while
+        mapping is paused)."""
         db = self.db
         R, t, s = g_cur_from_cand
 
@@ -83,7 +87,8 @@ class GlobalOptimizationModule:
         )
 
         # propagate through the current covisibility group
-        group = [kf] + db.get_top_covisible(kf, 30)
+        if group is None:
+            group = [kf] + db.get_top_covisible(kf, 30)
         T_cur_old = db.kf_pose_cw[kf].copy()
         T_cur_old_inv = np.linalg.inv(T_cur_old)
         corrected: Dict[int, tuple] = {}

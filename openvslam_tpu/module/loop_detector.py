@@ -64,6 +64,10 @@ class LoopDetector:
         """Sim3 validation: returns (R, t, s) of T_cur<-cand (candidate camera
         coords -> current camera coords) and matched lm pairs, or None."""
         db = self.db
+        for k in (kf, cand):     # compute words on demand (e.g. init KFs)
+            if k not in self.bow_db.kf_words:
+                w = self.bow_db.compute_words(db.kf_desc_i8[k], db.kf_kpt_valid[k])
+                self.bow_db.add_keyframe(k, w)
         words_k = self.bow_db.kf_words[kf]
         words_c = self.bow_db.kf_words[cand]
         has_lm_k = (db.kf_lm_idx[kf] >= 0) & db.kf_kpt_valid[kf]

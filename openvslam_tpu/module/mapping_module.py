@@ -44,6 +44,9 @@ class MappingModule:
         self._run_local_ba(kf2)
         for lm in self.db.valid_lm_ids():
             self.recent_lms.append((int(lm), kf2))
+        if self.global_optimizer is not None:
+            self.global_optimizer.queue_keyframe(kf1)
+            self.global_optimizer.queue_keyframe(kf2)
 
     def insert_keyframe(self, frame) -> int:
         db = self.db
@@ -119,7 +122,7 @@ class MappingModule:
                 jnp.asarray(db.kf_bearing[kf]),
                 jnp.asarray(db.kf_desc_i8[nb]), jnp.asarray(unmatched2),
                 jnp.asarray(db.kf_bearing[nb]),
-                E12, jnp.float32(2e-3),
+                E12, jnp.float32(1e-2),
             )
             idx = np.asarray(idx)
             m1 = np.where(idx >= 0)[0]

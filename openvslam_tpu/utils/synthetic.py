@@ -71,6 +71,89 @@ def random_sim3(rng: np.random.Generator, max_angle=0.5, max_trans=1.0, scale_ra
     return T[:3, :3], T[:3, 3], s
 
 
+class PlaneSceneRenderer:
+    """Textured-plane scene: a large multi-octave noise texture on the world
+    plane z = plane_z, rendered by per-pixel ray casting (pure numpy).
+
+    Continuous full-frame texture (like real imagery) — keypoint neighborhoods
+    move rigidly with the surface, so IC-angles and descriptors are stable
+    under viewpoint change, unlike isolated-patch scenes.  Also exercises the
+    homography path of the two-view initializer (planar scene => H wins).
+    """
+
+    def __init__(self, rng: np.random.Generator, x_range=(-4.0, 18.0),
+                 y_range=(-6.0, 6.0), plane_z=7.0, res=60, rows=320, cols=416):
+        self.x0, self.x1 = x_range
+        self.y0, self.y1 = y_range
+        self.plane_z = plane_z
+        self.res = res
+        self.rows = rows
+        self.cols = cols
+        tw = int((self.x1 - self.x0) * res)
+        th = int((self.y1 - self.y0) * res)
+        # multi-octave value noise for FAST-friendly structure
+        tex = np.zeros((th, tw))
+        for octave, amp in [(4, 0.2), (16, 0.4), (64, 1.0), (128, 0.6)]:
+            gh = max(2, octave * th // max(th, tw))
+            gw = max(2, octave)
+            coarse = rng.random((gh, gw))
+            yi = np.linspace(0, gh - 1, th)
+            xi = np.linspace(0, gw - 1, tw)
+            y0 = np.floor(yi).astype(int)
+            x0 = np.floor(xi).astype(int)
+            y1 = np.minimum(y0 + 1, gh - 1)
+            x1 = np.minimum(x0 + 1, gw - 1)
+            fy = (yi - y0)[:, None]
+            fx = (xi - x0)[None, :]
+            interp = (
+                coarse[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+                + coarse[np.ix_(y0, x1)] * (1 - fy) * fx
+                + coarse[np.ix_(y1, x0)] * fy * (1 - fx)
+                + coarse[np.ix_(y1, x1)] * fy * fx
+            )
+            tex += amp * interp
+        # add salt-and-pepper corners
+        n_dots = tw * th // 300
+        ys = rng.integers(1, th - 1, n_dots)
+        xs = rng.integers(1, tw - 1, n_dots)
+        tex[ys, xs] += rng.uniform(-1.5, 1.5, n_dots)
+        tex -= tex.min()
+        tex /= max(tex.max(), 1e-9)
+        self.texture = (20 + tex * 225).astype(np.float32)
+
+    def render(self, cam, T_cw: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        uu, vv = np.meshgrid(np.arange(self.cols), np.arange(self.rows))
+        pix = np.stack([uu.reshape(-1), vv.reshape(-1)], -1).astype(np.float32)
+        brg = np.asarray(cam.keypoints_to_bearings(jnp.asarray(pix)))
+        R = T_cw[:3, :3]
+        t = T_cw[:3, 3]
+        c = -R.T @ t                      # camera center, world
+        d = brg @ R                        # ray directions in world frame
+        dz = d[:, 2]
+        lam = (self.plane_z - c[2]) / np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+        X = c[None, :] + lam[:, None] * d
+        visible = lam > 0
+        tx = (X[:, 0] - self.x0) * self.res
+        ty = (X[:, 1] - self.y0) * self.res
+        th, tw = self.texture.shape
+        x0 = np.clip(np.floor(tx).astype(int), 0, tw - 2)
+        y0 = np.clip(np.floor(ty).astype(int), 0, th - 2)
+        fx = np.clip(tx - x0, 0, 1)
+        fy = np.clip(ty - y0, 0, 1)
+        tex = self.texture
+        val = (
+            tex[y0, x0] * (1 - fx) * (1 - fy)
+            + tex[y0, x0 + 1] * fx * (1 - fy)
+            + tex[y0 + 1, x0] * (1 - fx) * fy
+            + tex[y0 + 1, x0 + 1] * fx * fy
+        )
+        inside = visible & (tx >= 0) & (tx < tw - 1) & (ty >= 0) & (ty < th - 1)
+        img = np.where(inside, val, 0.0).reshape(self.rows, self.cols)
+        return img.astype(np.uint8)
+
+
 class PatchSceneRenderer:
     """Deterministic synthetic image sequence with known ground truth.
 
