@@ -23,8 +23,10 @@ class MappingModule:
     def __init__(self, cfg, cam, map_db,
                  ba_cams: int = 24, ba_lms: int = 4096, ba_obs: int = 16384,
                  global_optimizer=None):
+        from ..camera.base import SetupType
         self.cfg = cfg
         self.cam = cam
+        self.stereo = cam.setup != SetupType.MONOCULAR
         self.db = map_db
         self.global_optimizer = global_optimizer
         nl = cfg.feature.num_levels
@@ -33,7 +35,7 @@ class MappingModule:
         self.sigma2 = self.scale_factors**2
         self.num_levels = nl
         self.C, self.L, self.O = ba_cams, ba_lms, ba_obs
-        self.local_ba = make_local_ba(cam)
+        self.local_ba = make_local_ba(cam, stereo=self.stereo)
         self.recent_lms: List[Tuple[int, int]] = []   # (lm, born_kf)
         self.num_covis_for_triangulation = 10
         self.abort_ba = False
@@ -47,6 +49,10 @@ class MappingModule:
         if self.global_optimizer is not None:
             self.global_optimizer.queue_keyframe(kf1)
             self.global_optimizer.queue_keyframe(kf2)
+
+    def after_stereo_initialization(self, kf: int):
+        if self.global_optimizer is not None:
+            self.global_optimizer.queue_keyframe(kf)
 
     def insert_keyframe(self, frame) -> int:
         db = self.db
@@ -62,6 +68,8 @@ class MappingModule:
                 db.update_landmark_geometry(
                     lm, self.cfg.feature.scale_factor, self.num_levels
                 )
+        if self.stereo:
+            self._seed_landmarks_from_depth(frame, kf)
         db.update_connections(kf)
         self.remove_redundant_landmarks(kf)
         self.create_new_landmarks(kf)
@@ -71,6 +79,31 @@ class MappingModule:
         if self.global_optimizer is not None:
             self.global_optimizer.queue_keyframe(kf)
         return kf
+
+    def _seed_landmarks_from_depth(self, frame, kf: int):
+        """Stereo/RGBD keyframes seed landmarks from measured depth for
+        unmatched close keypoints (ref keyframe_inserter depth seeding)."""
+        db = self.db
+        thr = getattr(self.cam, "depth_threshold", 40.0)
+        has = (
+            frame.valid & (frame.depth > 0) & (frame.depth < thr)
+            & (db.kf_lm_idx[kf] < 0)
+        )
+        bz = frame.bearing[:, 2]
+        for i in np.where(has)[0]:
+            if bz[i] <= 1e-6:
+                continue
+            T = db.kf_pose_cw[kf]
+            Xc = frame.bearing[i] * (frame.depth[i] / bz[i])
+            Xw = T[:3, :3].T @ (Xc - T[:3, 3])
+            lm = db.add_landmark(
+                Xw.astype(np.float32), frame.desc_u32[i], frame.desc_i8[i], kf
+            )
+            db.add_observation(lm, kf, int(i))
+            db.update_landmark_geometry(
+                lm, self.cfg.feature.scale_factor, self.num_levels
+            )
+            self.recent_lms.append((lm, kf))
 
     # ------------------------------------------------------------------
     # landmark culling (ref module/local_map_cleaner)
@@ -111,7 +144,11 @@ class MappingModule:
             T2 = db.kf_pose_cw[nb]
             c2 = -T2[:3, :3].T @ T2[:3, 3]
             baseline = np.linalg.norm(c2 - c1)
-            if baseline < self.cfg.mapping.baseline_dist_thr_ratio * median_depth:
+            if self.stereo:
+                if baseline < getattr(self.cam, "focal_x_baseline", 0.0) / max(
+                        getattr(self.cam, "fx", 1.0), 1e-9):
+                    continue
+            elif baseline < self.cfg.mapping.baseline_dist_thr_ratio * median_depth:
                 continue
             E12 = TO.essential_from_poses(
                 jnp.asarray(T1, jnp.float32), jnp.asarray(T2, jnp.float32)
@@ -283,9 +320,10 @@ class MappingModule:
         for lm, i in lm_index.items():
             X[i] = db.lm_pos[lm]
             lm_valid[i] = True
+        D = 3 if self.stereo else 2
         oc = np.zeros(O, np.int32)
         ol = np.zeros(O, np.int32)
-        ouv = np.zeros((O, 2), np.float32)
+        ouv = np.zeros((O, D), np.float32)
         osg = np.ones(O, np.float32)
         om = np.zeros(O, bool)
         obs_refs = []
@@ -297,7 +335,9 @@ class MappingModule:
                     continue
                 oc[n_obs] = ci
                 ol[n_obs] = li
-                ouv[n_obs] = db.kf_xy_undist[k][kpt]
+                ouv[n_obs, :2] = db.kf_xy_undist[k][kpt]
+                if self.stereo:
+                    ouv[n_obs, 2] = db.kf_x_right[k][kpt]
                 osg[n_obs] = self.sigma2[db.kf_level[k][kpt]]
                 om[n_obs] = True
                 obs_refs.append((lm, k, kpt))

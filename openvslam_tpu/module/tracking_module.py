@@ -21,6 +21,7 @@ from ..initialize.two_view import initialize_two_view
 from ..models import tracking_ops as TO
 from ..ops import match as M
 from ..optimize.pose_optimizer import make_pose_optimizer
+from ..camera.base import SetupType
 
 
 class TrackerState(enum.Enum):
@@ -50,7 +51,8 @@ class TrackingModule:
         sf = cfg.feature.scale_factor
         self.scale_factors = np.array([sf**l for l in range(nl)], np.float32)
         self.sigma2 = self.scale_factors**2
-        self.pose_opt = make_pose_optimizer(cam)
+        self.stereo = cam.setup != SetupType.MONOCULAR
+        self.pose_opt = make_pose_optimizer(cam, stereo=self.stereo)
         self.log_scale = float(np.log(sf))
         self.num_levels = nl
         self.frames_since_reloc = 1 << 30
@@ -71,6 +73,8 @@ class TrackingModule:
     # initialization
     # ------------------------------------------------------------------
     def _try_initialize(self, frame: Frame):
+        if self.stereo:
+            return self._initialize_with_depth(frame)
         if self.init_frame is None or self.init_frame.num_valid < 100:
             self.init_frame = frame
             return None
@@ -119,6 +123,38 @@ class TrackingModule:
             self.mapper.after_initialization(kf1, kf2)
         return f2.pose_cw
 
+    def _initialize_with_depth(self, frame: Frame):
+        """Stereo/RGBD: bootstrap from a single frame's depths (ref
+        tracking_module initialization for non-mono setups)."""
+        has_depth = frame.valid & (frame.depth > 0)
+        if has_depth.sum() < 50:
+            return None
+        frame.pose_cw = np.eye(4, dtype=np.float32)
+        db = self.map_db
+        kf = db.add_keyframe(frame)
+        bz = frame.bearing[:, 2]
+        for i in np.where(has_depth)[0]:
+            if bz[i] <= 1e-6:
+                continue
+            X = frame.bearing[i] * (frame.depth[i] / bz[i])
+            lm = db.add_landmark(
+                X.astype(np.float32), frame.desc_u32[i], frame.desc_i8[i], kf
+            )
+            db.add_observation(lm, kf, int(i))
+            db.update_landmark_geometry(
+                lm, self.cfg.feature.scale_factor, self.num_levels
+            )
+            frame.lm_idx[i] = lm
+        db.update_connections(kf)
+        self.ref_kf = kf
+        self.last_kf_frame_id = frame.frame_id
+        self.state = TrackerState.TRACKING
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.num_tracked = int(has_depth.sum())
+        if self.mapper is not None:
+            self.mapper.after_stereo_initialization(kf)
+        return frame.pose_cw
+
     # ------------------------------------------------------------------
     # frame-to-frame tracking
     # ------------------------------------------------------------------
@@ -132,9 +168,15 @@ class TrackingModule:
         lm = np.clip(frame.lm_idx, 0, None)
         X = self.map_db.lm_pos[lm]
         sigma2 = self.sigma2[np.clip(frame.level, 0, self.num_levels - 1)]
+        if self.stereo:
+            obs = np.concatenate(
+                [frame.xy_undist, frame.x_right[:, None]], -1
+            ).astype(np.float32)
+        else:
+            obs = frame.xy_undist
         res = self.pose_opt(
             jnp.asarray(T_init, jnp.float32), jnp.asarray(X),
-            jnp.asarray(frame.xy_undist), jnp.asarray(sigma2),
+            jnp.asarray(obs), jnp.asarray(sigma2),
             jnp.asarray(obs_mask),
         )
         inl = np.asarray(res.inliers)

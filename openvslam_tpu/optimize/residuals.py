@@ -57,7 +57,11 @@ def make_stereo_residual(cam) -> Callable:
         ur = cam.stereo_right_u(uv, depth)
         pred = jnp.concatenate([uv, ur[None]], 0)
         ok = x_cam[2] > _EPS
-        return jnp.where(ok, uvr_obs - pred, 0.0), ok
+        r = uvr_obs - pred
+        # a monocular observation inside a stereo frame carries u_right < 0:
+        # mask its third component so mixed mono/stereo batches share one edge
+        r = r.at[2].set(jnp.where(uvr_obs[2] < 0, 0.0, r[2]))
+        return jnp.where(ok, r, 0.0), ok
 
     return residual
 

@@ -23,6 +23,7 @@ from .models.frontend import OrbFrontend
 from .module.mapping_module import MappingModule
 from .module.tracking_module import TrackingModule, TrackerState
 from .io import trajectory_io
+from .publish import FramePublisher, MapPublisher
 
 
 class System:
@@ -54,6 +55,8 @@ class System:
         )
         if self.global_optimizer is not None:
             self.tracker.relocalizer = self.global_optimizer.relocalizer
+        self.frame_publisher = FramePublisher()
+        self.map_publisher = MapPublisher(self.map_db)
         self.frame_id = 0
         self.trajectory: List[tuple] = []   # (timestamp, pose_cw or None)
         self.mapping_enabled = True
@@ -91,6 +94,7 @@ class System:
         self.tracker.state = TrackerState.NOT_INITIALIZED
         self.tracker.init_frame = None
         self.tracker.last_frame = None
+        self.map_publisher = MapPublisher(self.map_db)
         self.trajectory.clear()
 
     # ------------------------------------------------------------------
@@ -104,8 +108,67 @@ class System:
         frame = Frame.from_keypoints(self.frame_id, timestamp, kp, self.cam)
         self.frame_id += 1
         pose = self.tracker.track(frame)
+        self._publish(frame, pose)
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
         return pose
+
+    def feed_stereo_frame(self, left: np.ndarray, right: np.ndarray,
+                          timestamp: float, mask: Optional[np.ndarray] = None):
+        """Rectified stereo pair -> pose (ref system::feed_stereo_frame).
+        Runs the frontend on both images and row-matches descriptors to get
+        per-keypoint disparity/depth."""
+        from .ops.stereo import stereo_match
+
+        l_img = self._to_gray(left)
+        r_img = self._to_gray(right)
+        kp_l = self.frontend.extract(jnp.asarray(l_img),
+                                     None if mask is None else jnp.asarray(mask, jnp.float32))
+        kp_r = self.frontend.extract(jnp.asarray(r_img))
+        xr, depth = stereo_match(
+            kp_l.desc_i8, kp_l.xy, kp_l.valid, kp_l.level,
+            kp_r.desc_i8, kp_r.xy, kp_r.valid, kp_r.level,
+            jnp.float32(self.cam.focal_x_baseline),
+        )
+        frame = Frame.from_keypoints(
+            self.frame_id, timestamp, kp_l, self.cam,
+            x_right=np.asarray(xr), depth=np.asarray(depth),
+        )
+        self.frame_id += 1
+        pose = self.tracker.track(frame)
+        self._publish(frame, pose)
+        self.trajectory.append((timestamp, None if pose is None else pose.copy()))
+        return pose
+
+    def feed_RGBD_frame(self, rgb: np.ndarray, depthmap: np.ndarray,
+                        timestamp: float, mask: Optional[np.ndarray] = None):
+        """RGB + registered depth map -> pose (ref system::feed_RGBD_frame).
+        Depth sampled at keypoint locations; virtual right-u from depth."""
+        img = self._to_gray(rgb)
+        kp = self.frontend.extract(jnp.asarray(img),
+                                   None if mask is None else jnp.asarray(mask, jnp.float32))
+        xy = np.asarray(kp.xy)
+        u = np.clip(np.round(xy[:, 0]).astype(int), 0, self.cam.cols - 1)
+        v = np.clip(np.round(xy[:, 1]).astype(int), 0, self.cam.rows - 1)
+        z = depthmap[v, u].astype(np.float32) / max(self.cfg.depthmap_factor, 1e-9)
+        valid_z = (z > 1e-3) & np.isfinite(z)
+        depth = np.where(valid_z, z, -1.0).astype(np.float32)
+        fxb = self.cam.focal_x_baseline
+        x_right = np.where(valid_z, xy[:, 0] - fxb / np.maximum(z, 1e-6), -1.0
+                           ).astype(np.float32)
+        frame = Frame.from_keypoints(
+            self.frame_id, timestamp, kp, self.cam,
+            x_right=x_right, depth=depth,
+        )
+        self.frame_id += 1
+        pose = self.tracker.track(frame)
+        self._publish(frame, pose)
+        self.trajectory.append((timestamp, None if pose is None else pose.copy()))
+        return pose
+
+    def _publish(self, frame, pose):
+        self.frame_publisher.publish(frame, self.tracker.state.name)
+        if pose is not None:
+            self.map_publisher.set_current_pose(pose)
 
     def _to_gray(self, image: np.ndarray) -> np.ndarray:
         if image.ndim == 3:
@@ -151,3 +214,12 @@ class System:
     def load_map_database(self, path: str):
         from .io.map_database_io import load_map
         load_map(self.map_db, path)
+        if self.global_optimizer is not None:
+            # rebuild the BoW inverted index for relocalization/loop queries
+            bow = self.global_optimizer.bow_db
+            for kf in self.map_db.valid_kf_ids():
+                kf = int(kf)
+                words = bow.compute_words(
+                    self.map_db.kf_desc_i8[kf], self.map_db.kf_kpt_valid[kf]
+                )
+                bow.add_keyframe(kf, words)
