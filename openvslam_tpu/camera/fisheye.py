@@ -79,8 +79,8 @@ class Fisheye:
         v = self.fy * brg[..., 1] / zs + self.cy
         return jnp.stack([u, v], -1)
 
-    def project(self, pts_cam):
-        """Distorted fisheye projection; valid = z>0 and inside image."""
+    def project_fisheye(self, pts_cam):
+        """RAW distorted fisheye projection (rendering / visibility checks)."""
         x, y, z = pts_cam[..., 0], pts_cam[..., 1], pts_cam[..., 2]
         r = jnp.sqrt(x * x + y * y)
         theta = jnp.arctan2(r, z)
@@ -91,6 +91,19 @@ class Fisheye:
         uv = jnp.stack([u, v], -1)
         valid = (z > 0.0) & (u >= 0.0) & (u < self.cols) & (v >= 0.0) & (v < self.rows)
         return uv, z, valid
+
+    def project(self, pts_cam):
+        """Projection into the matching/residual space: *undistorted pinhole*
+        pixels (consistent with ``undistort_keypoints``/``xy_undist``) —
+        keeping every camera model's ``project`` in the same space its stored
+        keypoints live in.  Visibility is checked in the RAW image (the real
+        sensor bounds).  Note: undistorted-pinhole residuals limit the usable
+        FOV to <180 degrees."""
+        uv_raw, z, valid = self.project_fisheye(pts_cam)
+        zs = jnp.where(jnp.abs(pts_cam[..., 2]) < 1e-9, 1e-9, pts_cam[..., 2])
+        u = self.fx * pts_cam[..., 0] / zs + self.cx
+        v = self.fy * pts_cam[..., 1] / zs + self.cy
+        return jnp.stack([u, v], -1), z, valid
 
     def stereo_right_u(self, uv, depth):
         d = jnp.maximum(depth, 1e-9)

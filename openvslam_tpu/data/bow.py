@@ -156,12 +156,19 @@ class BowDatabase:
 
     # ------------------------------------------------------------------
     def _shared_word_counts(self, words: np.ndarray, exclude: Set[int]):
-        counts: Dict[int, int] = {}
-        for w in np.unique(words[words >= 0]):
-            for kf in self.inverted[int(w)]:
-                if kf not in exclude:
-                    counts[kf] = counts.get(kf, 0) + 1
-        return counts
+        from ..utils import native
+        # CSR view of the inverted index, then native accumulation
+        offsets = np.zeros(self.vocab.num_words + 1, np.int64)
+        for w, s in enumerate(self.inverted):
+            offsets[w + 1] = offsets[w] + len(s)
+        inv = np.empty(offsets[-1], np.int64)
+        pos = 0
+        for s in self.inverted:
+            for kf in s:
+                inv[pos] = kf
+                pos += 1
+        ks, vs = native.bow_shared_words(words, offsets, inv)
+        return {int(k): int(v) for k, v in zip(ks, vs) if int(k) not in exclude}
 
     def acquire_relocalization_candidates(self, words: np.ndarray,
                                           max_candidates: int = 10) -> List[int]:

@@ -228,7 +228,8 @@ class MapDatabase:
         return lm if lm >= 0 and self.lm_valid[lm] else -1
 
     def update_landmark_descriptor(self, lm: int):
-        """Representative descriptor = min median Hamming to the others."""
+        """Representative descriptor = min median Hamming to the others
+        (native popcount kernel when available; see native/map_core.cpp)."""
         obs = self.lm_obs[lm]
         if not obs:
             return
@@ -236,8 +237,8 @@ class MapDatabase:
         if len(descs) == 1:
             best = 0
         else:
-            d = _popcount_u32(descs[:, None, :] ^ descs[None, :, :]).sum(-1)
-            best = int(np.argmin(np.median(d, axis=1)))
+            from ..utils import native
+            best = native.min_median_hamming(descs)
         kf, idx = list(obs.items())[best]
         self.lm_desc_u32[lm] = self.kf_desc_u32[kf][idx]
         self.lm_desc_i8[lm] = self.kf_desc_i8[kf][idx]

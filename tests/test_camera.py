@@ -67,7 +67,7 @@ def test_fisheye_roundtrip(fisheye, rng):
     pts = np.stack(
         [(rng.random(256) - 0.5) * 4, (rng.random(256) - 0.5) * 3, rng.random(256) * 5 + 1.5], -1
     ).astype(np.float32)
-    uv, depth, valid = fisheye.project(jnp.asarray(pts))
+    uv, depth, valid = fisheye.project_fisheye(jnp.asarray(pts))
     brg = fisheye.keypoints_to_bearings(uv)
     ref = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
     v = np.asarray(valid)
