@@ -1,0 +1,76 @@
+"""Shared CLI plumbing for the example runners (ref ``example/run_*_slam.cc``
+popl flags: --vocab, --setting, dataset dir, --mask, --frame-skip, --no-sleep,
+--auto-term, --debug, --eval-log, --map-db in/out)."""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("-v", "--vocab", default="default",
+                   help="vocabulary file (.npz) or 'default' or 'none'")
+    p.add_argument("-s", "--setting", required=True, help="config YAML")
+    p.add_argument("--mask", default=None, help="mask image (png/pgm)")
+    p.add_argument("--frame-skip", type=int, default=1)
+    p.add_argument("--no-sleep", action="store_true")
+    p.add_argument("--auto-term", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--eval-log", action="store_true",
+                   help="dump frame_trajectory.txt + track_times.txt")
+    p.add_argument("--map-db-in", default=None)
+    p.add_argument("--map-db-out", default=None)
+    p.add_argument("--traj-out", default="frame_trajectory.txt")
+    p.add_argument("--traj-format", default="TUM", choices=["TUM", "KITTI"])
+    return p
+
+
+def build_system(args):
+    import logging
+
+    from openvslam_tpu.config import Config
+    from openvslam_tpu.system import System
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.debug else logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    cfg = Config.from_yaml(args.setting)
+    vocab = None if args.vocab == "none" else args.vocab
+    system = System(cfg, vocab_path=vocab)
+    if args.map_db_in:
+        system.load_map_database(args.map_db_in)
+        system.disable_mapping_module()
+    system.startup()
+    return cfg, system
+
+
+def finish(args, system, track_times):
+    system.shutdown()
+    system.save_frame_trajectory(args.traj_out, args.traj_format)
+    if args.eval_log:
+        with open("track_times.txt", "w") as f:
+            f.writelines(f"{t:.9f}\n" for t in track_times)
+    if args.map_db_out:
+        system.save_map_database(args.map_db_out)
+    tt = np.array(track_times)
+    if len(tt):
+        print(f"median tracking time: {np.median(tt)*1000:.1f} ms "
+              f"({1.0/np.median(tt):.1f} fps)")
+        print(f"mean tracking time:   {tt.mean()*1000:.1f} ms")
+
+
+class Timer:
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *a):
+        self.dt = time.perf_counter() - self.t0
