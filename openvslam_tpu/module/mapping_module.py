@@ -39,6 +39,10 @@ class MappingModule:
         self.recent_lms: List[Tuple[int, int]] = []   # (lm, born_kf)
         self.num_covis_for_triangulation = 10
         self.abort_ba = False
+        # optional map lock for the async pipeline: held around db reads and
+        # write-backs but RELEASED during the jitted BA solve (the solve works
+        # on padded copies) — the reference's mutex discipline, same contract
+        self.map_lock = None
 
     # ------------------------------------------------------------------
     def after_initialization(self, kf1: int, kf2: int):
@@ -55,9 +59,16 @@ class MappingModule:
             self.global_optimizer.queue_keyframe(kf)
 
     def insert_keyframe(self, frame) -> int:
+        """Synchronous insertion: store + full mapping pipeline."""
+        kf = self.store_keyframe(frame)
+        self.process_keyframe(kf, run_ba=True)
+        return kf
+
+    def store_keyframe(self, frame) -> int:
+        """Fast part (runs in the tracking thread, like the reference's
+        queue_keyframe): create the KF record + associate tracked landmarks."""
         db = self.db
         kf = db.add_keyframe(frame)
-        # store: associate tracked landmarks
         for i in np.where((frame.lm_idx >= 0) & frame.valid & ~frame.outlier)[0]:
             lm = int(frame.lm_idx[i])
             if not db.lm_valid[lm]:
@@ -71,14 +82,26 @@ class MappingModule:
         if self.stereo:
             self._seed_landmarks_from_depth(frame, kf)
         db.update_connections(kf)
-        self.remove_redundant_landmarks(kf)
-        self.create_new_landmarks(kf)
-        self.fuse_duplicated_landmarks(kf)
-        self._run_local_ba(kf)
-        self.remove_redundant_keyframes(kf)
-        if self.global_optimizer is not None:
-            self.global_optimizer.queue_keyframe(kf)
         return kf
+
+    def process_keyframe(self, kf: int, run_ba: bool = True):
+        """Heavy part (the reference's mapping-thread body): cull, create,
+        fuse, local BA, cull KFs, forward to global optimization.  `run_ba`
+        False implements the abort-on-backlog policy (ref: local BA aborted
+        when new keyframes are waiting).  Map mutations run under map_lock
+        when one is set (async mode); the BA solve releases it."""
+        import contextlib
+        lock = self.map_lock if self.map_lock is not None else contextlib.nullcontext()
+        with lock:
+            self.remove_redundant_landmarks(kf)
+            self.create_new_landmarks(kf)
+            self.fuse_duplicated_landmarks(kf)
+        if run_ba:
+            self._run_local_ba(kf)      # takes/releases the lock internally
+        with lock:
+            self.remove_redundant_keyframes(kf)
+            if self.global_optimizer is not None:
+                self.global_optimizer.queue_keyframe(kf)
 
     def _seed_landmarks_from_depth(self, frame, kf: int):
         """Stereo/RGBD keyframes seed landmarks from measured depth for
@@ -275,6 +298,19 @@ class MappingModule:
     # local BA (ref optimize/local_bundle_adjuster)
     # ------------------------------------------------------------------
     def _run_local_ba(self, kf: int):
+        import contextlib
+        lock = self.map_lock if self.map_lock is not None else contextlib.nullcontext()
+        with lock:
+            built = self._build_ba_problem(kf)
+        if built is None:
+            return
+        prob, cam_index, lm_index, cam_opt, obs_refs, n_obs, lm_ids = built
+        res = self.local_ba(prob)          # jitted solve — outside the lock
+        with lock:
+            self._apply_ba_result(res, cam_index, lm_index, cam_opt,
+                                  obs_refs, n_obs, lm_ids)
+
+    def _build_ba_problem(self, kf: int):
         db = self.db
         local = [kf] + db.get_top_covisible(kf, self.C - 1)
         local = [k for k in local if db.kf_valid[k]]
@@ -343,14 +379,18 @@ class MappingModule:
                 obs_refs.append((lm, k, kpt))
                 n_obs += 1
         if n_obs < 10:
-            return
+            return None
         prob = BAProblem(
             jnp.asarray(T), jnp.asarray(cam_opt), jnp.asarray(cam_valid),
             jnp.asarray(X), jnp.asarray(lm_valid),
             jnp.asarray(oc), jnp.asarray(ol), jnp.asarray(ouv),
             jnp.asarray(osg), jnp.asarray(om),
         )
-        res = self.local_ba(prob)
+        return prob, cam_index, lm_index, cam_opt, obs_refs, n_obs, lm_ids
+
+    def _apply_ba_result(self, res, cam_index, lm_index, cam_opt,
+                         obs_refs, n_obs, lm_ids):
+        db = self.db
         T_new = np.asarray(res.T_cw)
         X_new = np.asarray(res.X)
         inl = np.asarray(res.obs_inlier)

@@ -10,6 +10,7 @@ for tests); pass ``async_mapping=True`` for the pipelined mode.
 """
 from __future__ import annotations
 
+import collections
 import concurrent.futures
 import threading
 from typing import List, Optional
@@ -49,8 +50,14 @@ class System:
         self.mapper = MappingModule(
             cfg, self.cam, self.map_db, global_optimizer=self.global_optimizer
         )
+        self.map_lock = threading.RLock()
+        tracker_mapper = self.mapper
+        if async_mapping:
+            self.mapper.map_lock = self.map_lock
+            tracker_mapper = _AsyncMapperProxy(self.mapper, self.map_lock)
+        self._tracker_mapper = tracker_mapper
         self.tracker = TrackingModule(
-            cfg, self.cam, self.map_db, mapper=self.mapper,
+            cfg, self.cam, self.map_db, mapper=tracker_mapper,
             relocalizer=getattr(self.global_optimizer, "relocalizer", None),
         )
         if self.global_optimizer is not None:
@@ -61,9 +68,6 @@ class System:
         self.trajectory: List[tuple] = []   # (timestamp, pose_cw or None)
         self.mapping_enabled = True
         self._async = async_mapping
-        self._pool = (
-            concurrent.futures.ThreadPoolExecutor(max_workers=1) if async_mapping else None
-        )
         self._pending = None
         self._running = False
 
@@ -72,15 +76,13 @@ class System:
         self._running = True
 
     def shutdown(self):
-        if self._pending is not None:
-            self._pending.result()
-        if self._pool is not None:
-            self._pool.shutdown(wait=True)
+        if self._async and isinstance(self._tracker_mapper, _AsyncMapperProxy):
+            self._tracker_mapper.drain()
         self._running = False
 
     def enable_mapping_module(self):
         self.mapping_enabled = True
-        self.tracker.mapper = self.mapper
+        self.tracker.mapper = self._tracker_mapper
 
     def disable_mapping_module(self):
         """Localization mode: map frozen, tracker-only (ref §3.5)."""
@@ -107,7 +109,8 @@ class System:
                                    None if mask is None else jnp.asarray(mask, jnp.float32))
         frame = Frame.from_keypoints(self.frame_id, timestamp, kp, self.cam)
         self.frame_id += 1
-        pose = self.tracker.track(frame)
+        with self.map_lock:
+            pose = self.tracker.track(frame)
         self._publish(frame, pose)
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
         return pose
@@ -134,7 +137,8 @@ class System:
             x_right=np.asarray(xr), depth=np.asarray(depth),
         )
         self.frame_id += 1
-        pose = self.tracker.track(frame)
+        with self.map_lock:
+            pose = self.tracker.track(frame)
         self._publish(frame, pose)
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
         return pose
@@ -160,7 +164,8 @@ class System:
             x_right=x_right, depth=depth,
         )
         self.frame_id += 1
-        pose = self.tracker.track(frame)
+        with self.map_lock:
+            pose = self.tracker.track(frame)
         self._publish(frame, pose)
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
         return pose
@@ -223,3 +228,55 @@ class System:
                     self.map_db.kf_desc_i8[kf], self.map_db.kf_kpt_valid[kf]
                 )
                 bow.add_keyframe(kf, words)
+
+
+class _AsyncMapperProxy:
+    """Mapping pipeline off the tracking thread (ref: mapping runs in its own
+    std::thread consuming a keyframe queue; SURVEY.md §2.3 contract —
+    tracking never blocks on BA, BA skipped when a backlog builds up)."""
+
+    def __init__(self, mapper, map_lock):
+        self.mapper = mapper
+        self.map_lock = map_lock
+        self.pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self.queue = collections.deque()
+        self._qlock = threading.Lock()
+        self._future = None
+
+    # passthroughs used by the tracker
+    def after_initialization(self, kf1, kf2):
+        return self.mapper.after_initialization(kf1, kf2)
+
+    def after_stereo_initialization(self, kf):
+        return self.mapper.after_stereo_initialization(kf)
+
+    @property
+    def idle(self) -> bool:
+        with self._qlock:
+            return not self.queue and (self._future is None or self._future.done())
+
+    def insert_keyframe(self, frame) -> int:
+        # store synchronously (caller already holds the map lock)
+        kf = self.mapper.store_keyframe(frame)
+        with self._qlock:
+            self.queue.append(kf)
+            if self._future is None or self._future.done():
+                self._future = self.pool.submit(self._drain)
+        return kf
+
+    def _drain(self):
+        while True:
+            with self._qlock:
+                if not self.queue:
+                    return
+                kf = self.queue.popleft()
+                backlog = len(self.queue) > 0
+            # BA aborted (skipped) when newer keyframes are waiting
+            self.mapper.process_keyframe(kf, run_ba=not backlog)
+
+    def drain(self):
+        with self._qlock:
+            fut = self._future
+        if fut is not None:
+            fut.result()
+        self.pool.shutdown(wait=True)
