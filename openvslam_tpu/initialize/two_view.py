@@ -106,6 +106,10 @@ def initialize_two_view(key, frame1, frame2, cam, min_matches=50,
     idx, dist = match_for_init(
         d1, v1, jnp.asarray(frame1.xy), d2, v2, jnp.asarray(frame2.xy)
     )
+    # orientation-consistency filter (ref match::angle_checker)
+    idx = M.angle_consistency_filter(
+        jnp.asarray(frame1.angle), jnp.asarray(frame2.angle), idx
+    )
     idx = np.asarray(idx)
     m1 = np.where(idx >= 0)[0]
     if len(m1) < min_matches:

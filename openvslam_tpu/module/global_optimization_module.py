@@ -35,6 +35,7 @@ class GlobalOptimizationModule:
         self.relocalizer = Relocalizer(cfg, cam, map_db, self.bow_db)
         self.pose_graph_opt = make_pose_graph_optimizer(iters=20, cg_iters=60)
         self.num_loops_closed = 0
+        self.abort_global_ba = False
         self.last_loop_kf = -1
         self.loop_enabled = cfg.loop.enabled
         self._global_ba_cache = {}
@@ -229,6 +230,9 @@ class GlobalOptimizationModule:
         """Full-map BA (ref loop_bundle_adjuster; synchronous here, abortable
         by iteration budget)."""
         db = self.db
+        if self.abort_global_ba:
+            self.abort_global_ba = False
+            return
         kf_ids = db.valid_kf_ids()
         lm_ids = db.valid_lm_ids()
         n_c, n_l = len(kf_ids), len(lm_ids)

@@ -184,6 +184,10 @@ class MappingModule:
                 jnp.asarray(db.kf_bearing[nb]),
                 E12, jnp.float32(1e-2),
             )
+            from ..ops import match as M
+            idx = M.angle_consistency_filter(
+                jnp.asarray(db.kf_angle[kf]), jnp.asarray(db.kf_angle[nb]), idx
+            )
             idx = np.asarray(idx)
             m1 = np.where(idx >= 0)[0]
             if len(m1) == 0:

@@ -276,7 +276,14 @@ class TrackingModule:
             frame.lm_idx[:] = -1
             nmatch = self._motion_match(frame, T_pred, radius=14.0)
         if nmatch < 20:
-            # fallback: unconstrained descriptor match against last frame
+            # fallback 1 (ref bow_match_based_track): word-gated match against
+            # the reference keyframe's landmarks
+            nmatch = self._bow_match_ref_kf(frame)
+            if nmatch >= 20:
+                T_pred = self.last_frame.pose_cw
+        if nmatch < 20:
+            # fallback 2 (ref robust_match_based_track analog): unconstrained
+            # descriptor match against last frame
             nmatch = self._fallback_match_last_frame(frame)
             T_pred = self.last_frame.pose_cw
         if nmatch < 10:
@@ -304,6 +311,36 @@ class TrackingModule:
         if self._new_keyframe_needed(frame):
             self._insert_keyframe(frame)
         return frame.pose_cw
+
+    def _bow_match_ref_kf(self, frame: Frame):
+        """Word-gated descriptor match vs the reference keyframe's landmarks
+        (ref frame_tracker::bow_match_based_track).  Needs a BoW database."""
+        if self.relocalizer is None or self.ref_kf < 0:
+            return 0
+        bow_db = self.relocalizer.bow_db
+        db = self.map_db
+        if self.ref_kf not in bow_db.kf_words:
+            return 0
+        from ..ops import bow as bow_ops
+        words = bow_db.compute_words(frame.desc_i8, frame.valid)
+        gate = bow_ops.word_gate(
+            jnp.asarray(words), jnp.asarray(bow_db.kf_words[self.ref_kf])
+        )
+        has_lm = (db.kf_lm_idx[self.ref_kf] >= 0) & db.kf_kpt_valid[self.ref_kf]
+        idx, dist = M.match_descriptors(
+            jnp.asarray(frame.desc_i8), jnp.asarray(db.kf_desc_i8[self.ref_kf]),
+            jnp.asarray(frame.valid), jnp.asarray(has_lm),
+            gate=gate, max_dist=M.HAMMING_DIST_THR_LOW, ratio=0.9,
+            cross_check=True,
+        )
+        idx = np.asarray(idx)
+        n = 0
+        for i in np.where(idx >= 0)[0]:
+            lm = int(db.kf_lm_idx[self.ref_kf][idx[i]])
+            if lm >= 0 and db.lm_valid[lm] and frame.lm_idx[i] < 0:
+                frame.lm_idx[i] = lm
+                n += 1
+        return n
 
     def _fallback_match_last_frame(self, frame: Frame):
         lf = self.last_frame

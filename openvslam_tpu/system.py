@@ -64,6 +64,14 @@ class System:
             self.tracker.relocalizer = self.global_optimizer.relocalizer
         self.frame_publisher = FramePublisher()
         self.map_publisher = MapPublisher(self.map_db)
+        # static mask from Feature.mask_rectangles ([y0,y1,x0,x1] ratios)
+        self._static_mask = None
+        if cfg.feature.mask_rectangles:
+            m = np.ones((self.cam.rows, self.cam.cols), np.float32)
+            for y0, y1, x0, x1 in cfg.feature.mask_rectangles:
+                m[int(y0 * self.cam.rows):int(y1 * self.cam.rows),
+                  int(x0 * self.cam.cols):int(x1 * self.cam.cols)] = 0.0
+            self._static_mask = m
         self.frame_id = 0
         self.trajectory: List[tuple] = []   # (timestamp, pose_cw or None)
         self.mapping_enabled = True
@@ -89,6 +97,24 @@ class System:
         self.mapping_enabled = False
         self.tracker.mapper = None
 
+    def pause_other_threads(self):
+        """Pause the mapping worker (ref system::pause_other_threads); no-op
+        in synchronous mode where there is nothing to pause."""
+        if self._async and isinstance(self._tracker_mapper, _AsyncMapperProxy):
+            self._tracker_mapper.pause()
+
+    def resume_other_threads(self):
+        if self._async and isinstance(self._tracker_mapper, _AsyncMapperProxy):
+            self._tracker_mapper.resume()
+
+    def abort_loop_BA(self):
+        """Abort a pending global BA (ref system::abort_loop_BA)."""
+        if self.global_optimizer is not None:
+            self.global_optimizer.abort_global_ba = True
+
+    def loop_BA_is_running(self) -> bool:
+        return False    # global BA runs inline in this build
+
     def request_reset(self):
         self.map_db = MapDatabase(kpt_capacity=self.frontend.capacity)
         self.mapper.db = self.map_db
@@ -105,6 +131,7 @@ class System:
         """image: (rows, cols) uint8 grayscale or (rows, cols, 3) color.
         Returns pose_cw (4,4) or None."""
         img = self._to_gray(image)
+        mask = mask if mask is not None else self._static_mask
         kp = self.frontend.extract(jnp.asarray(img),
                                    None if mask is None else jnp.asarray(mask, jnp.float32))
         frame = Frame.from_keypoints(self.frame_id, timestamp, kp, self.cam)
@@ -242,6 +269,17 @@ class _AsyncMapperProxy:
         self.queue = collections.deque()
         self._qlock = threading.Lock()
         self._future = None
+        self._resume_evt = threading.Event()
+        self._resume_evt.set()
+
+    def pause(self):
+        self._resume_evt.clear()
+
+    def resume(self):
+        self._resume_evt.set()
+        with self._qlock:
+            if self.queue and (self._future is None or self._future.done()):
+                self._future = self.pool.submit(self._drain)
 
     # passthroughs used by the tracker
     def after_initialization(self, kf1, kf2):
@@ -266,6 +304,8 @@ class _AsyncMapperProxy:
 
     def _drain(self):
         while True:
+            if not self._resume_evt.is_set():
+                return          # paused: resume() resubmits the drain
             with self._qlock:
                 if not self.queue:
                     return
