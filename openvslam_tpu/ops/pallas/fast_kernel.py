@@ -1,0 +1,113 @@
+"""Pallas TPU kernel for the FAST-9/16 segment test + score.
+
+The XLA formulation (ops/fast.py) materializes a (H, W, 16) ring tensor in
+HBM per threshold; this kernel keeps the whole test in VMEM per row band:
+each grid program DMAs one (TILE+2*HALO, W) band from HBM once and computes
+BOTH threshold score maps in registers — one HBM read of the image instead
+of ~20 (ring stack + windowed cumsums), and no (H,W,16) intermediate.
+
+The contiguous-arc test is unrolled: 16 start positions x 9-long windowed
+sums on the VPU.  Until the axon TPU backend is stable enough to validate
+compiled pallas (see PROGRESS), usage is gated by use_pallas_fast(); CPU
+interpret-mode tests pin the semantics against the XLA implementation.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import fast as fast_ref
+
+_CIRCLE = fast_ref._CIRCLE
+_ARC = fast_ref._ARC
+TILE_H = 64
+HALO = 3
+
+
+def _fast_band_kernel(img_hbm, hi_ref, lo_ref, band_ref, sem,
+                      *, thr_hi, thr_lo, tile_h, width):
+    i = pl.program_id(0)
+    copy = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(i * tile_h, tile_h + 2 * HALO), :],
+        band_ref, sem,
+    )
+    copy.start()
+    copy.wait()
+    band = band_ref[:]
+
+    nrows = tile_h + 2 * HALO
+
+    def shifted(dy, dx):
+        # pltpu.roll needs non-negative shifts; normalize modulo the axis
+        rolled = pltpu.roll(pltpu.roll(band, (-dy) % nrows, 0), (-dx) % width, 1)
+        return rolled[HALO:HALO + tile_h, :]
+
+    center = band[HALO:HALO + tile_h, :]
+    diffs = [shifted(dy, dx) - center for dy, dx in _CIRCLE]
+
+    def score(thr):
+        bright = [jnp.maximum(d - thr, 0.0) for d in diffs]
+        dark = [jnp.maximum(-d - thr, 0.0) for d in diffs]
+
+        def arc(mag):
+            best = jnp.zeros_like(center)
+            for s in range(16):
+                w = mag[s % 16]
+                ok = mag[s % 16] > 0.0
+                for k in range(1, _ARC):
+                    m = mag[(s + k) % 16]
+                    w = w + m
+                    ok = ok & (m > 0.0)
+                best = jnp.maximum(best, jnp.where(ok, w, 0.0))
+            return best
+
+        return jnp.maximum(arc(bright), arc(dark))
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 1)
+    inside = (col >= HALO) & (col < width - HALO)
+    hi_ref[:] = jnp.where(inside, score(jnp.float32(thr_hi)), 0.0)
+    lo_ref[:] = jnp.where(inside, score(jnp.float32(thr_lo)), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("thr_hi", "thr_lo", "interpret"))
+def fast_score_maps_pallas(img: jnp.ndarray, thr_hi: float, thr_lo: float,
+                           interpret: bool = False):
+    """(H, W) f32 -> (hi, lo) score maps; H must be a multiple of TILE_H."""
+    h, w = img.shape
+    assert h % TILE_H == 0, h
+    padded = jnp.pad(img, ((HALO, HALO), (0, 0)))
+    kernel = functools.partial(
+        _fast_band_kernel, thr_hi=thr_hi, thr_lo=thr_lo,
+        tile_h=TILE_H, width=w,
+    )
+    hi, lo = pl.pallas_call(
+        kernel,
+        grid=(h // TILE_H,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec((TILE_H, w), lambda i: (i, 0)),
+            pl.BlockSpec((TILE_H, w), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H + 2 * HALO, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(padded)
+    # zero the vertical borders (horizontal handled in-kernel)
+    row = jnp.arange(h)[:, None]
+    edge = (row >= HALO) & (row < h - HALO)
+    return jnp.where(edge, hi, 0.0), jnp.where(edge, lo, 0.0)
+
+
+def use_pallas_fast() -> bool:
+    return os.environ.get("OPENVSLAM_TPU_PALLAS_FAST", "0") == "1"
