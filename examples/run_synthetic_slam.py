@@ -23,6 +23,8 @@ def main():
     p.add_argument("--cols", type=int, default=416)
     p.add_argument("--feats", type=int, default=600)
     p.add_argument("--traj-out", default=None)
+    p.add_argument("--viewer-out", default=None,
+                   help="export a self-contained HTML map viewer")
     args = p.parse_args()
 
     from openvslam_tpu.config import Config
@@ -81,6 +83,10 @@ def main():
           f"({1/np.median(tt):.1f} fps) on {__import__('jax').devices()[0]}")
     if args.traj_out:
         system.save_frame_trajectory(args.traj_out, "TUM")
+    if args.viewer_out:
+        from openvslam_tpu.publish.html_viewer import export_html
+        export_html(system.map_publisher, args.viewer_out)
+        print(f"viewer written to {args.viewer_out}")
 
 
 if __name__ == "__main__":

@@ -27,6 +27,20 @@ from .io import trajectory_io
 from .publish import FramePublisher, MapPublisher
 
 
+def equalize_histogram(img: np.ndarray) -> np.ndarray:
+    """Global histogram equalization (ref util::image_converter option)."""
+    hist = np.bincount(img.reshape(-1), minlength=256)
+    cdf = np.cumsum(hist).astype(np.float64)
+    nz = cdf[cdf > 0]
+    if len(nz) == 0:
+        return img
+    cdf_min = nz[0]
+    lut = np.clip(
+        np.round((cdf - cdf_min) / max(cdf[-1] - cdf_min, 1) * 255), 0, 255
+    ).astype(np.uint8)
+    return lut[img]
+
+
 class System:
     def __init__(self, cfg: Config, vocab_path: Optional[str] = None,
                  async_mapping: bool = False):
@@ -205,10 +219,11 @@ class System:
     def _to_gray(self, image: np.ndarray) -> np.ndarray:
         if image.ndim == 3:
             # reference default color order RGB; Rec.601 luma
-            img = (
+            image = (
                 0.299 * image[..., 0] + 0.587 * image[..., 1] + 0.114 * image[..., 2]
             ).astype(np.uint8)
-            return img
+        if self.cfg.raw.get("Preprocessing", {}).get("equalize_histogram", False):
+            image = equalize_histogram(image)
         return image
 
     # ------------------------------------------------------------------

@@ -98,3 +98,32 @@ def test_publishers(rng):
     lm_ids, lm_pos = s.map_publisher.get_landmarks()
     assert len(lm_ids) > 50 and lm_pos.shape[1] == 3
     assert len(s.map_publisher.get_spanning_tree_edges()) >= 1
+
+
+def test_html_viewer_export(rng, tmp_path):
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_tracking_e2e import _make_config
+    from openvslam_tpu.system import System
+    from openvslam_tpu.publish.html_viewer import export_html
+
+    cfg = _make_config()
+    cam = cfg.camera
+    scene = synthetic.PlaneSceneRenderer(
+        rng, x_range=(-5, 8), y_range=(-5, 5), plane_z=7.0,
+        rows=cam.rows, cols=cam.cols,
+    )
+    xs = np.linspace(0.0, 1.5, 8)
+    s = System(cfg)
+    s.startup()
+    for i, x in enumerate(xs):
+        s.feed_monocular_frame(
+            scene.render(cam, synthetic.lookat_pose_cw((x, 0, 0), (x, 0, 7))),
+            i / 20.0,
+        )
+    s.shutdown()
+    out = tmp_path / "map.html"
+    export_html(s.map_publisher, str(out))
+    html = out.read_text()
+    assert "kf_centers" in html and "landmarks" in html
+    assert len(html) > 5000
