@@ -88,6 +88,7 @@ class System:
             self._static_mask = m
         self.frame_id = 0
         self.trajectory: List[tuple] = []   # (timestamp, pose_cw or None)
+        self.track_times: List[float] = []  # per-frame wall time (ref track_times)
         self.mapping_enabled = True
         self._async = async_mapping
         self._pending = None
@@ -150,8 +151,11 @@ class System:
                                    None if mask is None else jnp.asarray(mask, jnp.float32))
         frame = Frame.from_keypoints(self.frame_id, timestamp, kp, self.cam)
         self.frame_id += 1
+        import time as _time
+        _t0 = _time.perf_counter()
         with self.map_lock:
             pose = self.tracker.track(frame)
+        self.track_times.append(_time.perf_counter() - _t0)
         self._publish(frame, pose)
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
         return pose
@@ -178,8 +182,11 @@ class System:
             x_right=np.asarray(xr), depth=np.asarray(depth),
         )
         self.frame_id += 1
+        import time as _time
+        _t0 = _time.perf_counter()
         with self.map_lock:
             pose = self.tracker.track(frame)
+        self.track_times.append(_time.perf_counter() - _t0)
         self._publish(frame, pose)
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
         return pose
@@ -205,8 +212,11 @@ class System:
             x_right=x_right, depth=depth,
         )
         self.frame_id += 1
+        import time as _time
+        _t0 = _time.perf_counter()
         with self.map_lock:
             pose = self.tracker.track(frame)
+        self.track_times.append(_time.perf_counter() - _t0)
         self._publish(frame, pose)
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
         return pose
@@ -244,6 +254,25 @@ class System:
             trajectory_io.save_trajectory_tum(path, ts, poses)
         else:
             trajectory_io.save_trajectory_kitti(path, poses)
+
+    def stats(self) -> dict:
+        """Observability counters (ref publish metrics: tracked landmarks,
+        KF count, frames/s; SURVEY.md §5.5)."""
+        tt = np.array(self.track_times) if self.track_times else np.zeros(1)
+        return {
+            "state": self.tracker.state.name,
+            "frames_fed": self.frame_id,
+            "frames_tracked": sum(p is not None for _, p in self.trajectory),
+            "num_keyframes": int(len(self.map_db.valid_kf_ids())),
+            "num_landmarks": int(len(self.map_db.valid_lm_ids())),
+            "num_tracked_landmarks": self.tracker.num_tracked,
+            "loops_closed": (
+                self.global_optimizer.num_loops_closed
+                if self.global_optimizer is not None else 0
+            ),
+            "median_track_ms": float(np.median(tt) * 1000),
+            "fps": float(1.0 / max(np.median(tt), 1e-9)),
+        }
 
     def tracked_poses(self):
         """(timestamps, poses_cw, tracked_mask) over all fed frames."""

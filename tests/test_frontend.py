@@ -1,0 +1,77 @@
+"""ORB front-end unit tests: detection on known structure, descriptor
+stability under shift and in-plane rotation (validates IC-angle steering)."""
+import numpy as np
+import jax.numpy as jnp
+
+from openvslam_tpu.models.frontend import OrbFrontend
+from openvslam_tpu.ops import match as M
+from openvslam_tpu.utils import synthetic
+
+
+def _rotate_image(img, angle_deg):
+    """Pure-numpy nearest rotation around the image center."""
+    h, w = img.shape
+    a = np.deg2rad(angle_deg)
+    c, s = np.cos(a), np.sin(a)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    x0, y0 = w / 2, h / 2
+    xs = c * (xx - x0) + s * (yy - y0) + x0
+    ys = -s * (xx - x0) + c * (yy - y0) + y0
+    xi = np.clip(np.round(xs).astype(int), 0, w - 1)
+    yi = np.clip(np.round(ys).astype(int), 0, h - 1)
+    out = img[yi, xi]
+    inside = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    return np.where(inside, out, 0).astype(np.uint8)
+
+
+def _textured_image(rng, rows=320, cols=416):
+    cam_like = type("C", (), {})
+    scene = synthetic.PlaneSceneRenderer(
+        rng, x_range=(-5, 5), y_range=(-4, 4), plane_z=7.0, rows=rows, cols=cols
+    )
+    from openvslam_tpu.camera import Perspective
+    cam = Perspective.create(fx=350, fy=350, cx=cols / 2, cy=rows / 2,
+                             cols=cols, rows=rows)
+    return scene.render(cam, synthetic.lookat_pose_cw((0, 0, 0), (0, 0, 7)))
+
+
+def test_detection_counts_and_bounds(rng):
+    img = _textured_image(rng)
+    fe = OrbFrontend(320, 416, max_keypts=600, num_levels=4)
+    kp = fe.extract(jnp.asarray(img))
+    xy = np.asarray(kp.xy)[np.asarray(kp.valid)]
+    assert len(xy) > 300
+    assert (xy[:, 0] >= 0).all() and (xy[:, 0] < 416).all()
+    assert (xy[:, 1] >= 0).all() and (xy[:, 1] < 320).all()
+    # determinism
+    kp2 = fe.extract(jnp.asarray(img))
+    np.testing.assert_array_equal(np.asarray(kp.desc_u32), np.asarray(kp2.desc_u32))
+
+
+def test_rotation_invariance(rng):
+    """In-plane rotation: steered BRIEF must keep matching (ref rBRIEF)."""
+    img = _textured_image(rng)
+    fe = OrbFrontend(320, 416, max_keypts=600, num_levels=4)
+    kp1 = fe.extract(jnp.asarray(img))
+    for angle in (15, 45, 90):
+        rot = _rotate_image(img, angle)
+        kp2 = fe.extract(jnp.asarray(rot))
+        idx, dist = M.match_descriptors(
+            kp1.desc_i8, kp2.desc_i8, kp1.valid, kp2.valid,
+            max_dist=M.HAMMING_DIST_THR_LOW, ratio=0.85, cross_check=True,
+        )
+        idx = np.asarray(idx)
+        m1 = np.where(idx >= 0)[0]
+        assert len(m1) > 60, f"angle {angle}: only {len(m1)} matches"
+        # verify geometric consistency under the known rotation
+        a = np.deg2rad(angle)
+        c, s = np.cos(a), np.sin(a)
+        x0, y0 = 416 / 2, 320 / 2
+        xy1 = np.asarray(kp1.xy)[m1]
+        xy2 = np.asarray(kp2.xy)[idx[m1]]
+        # forward map of xy1 into the rotated image
+        xr = c * (xy1[:, 0] - x0) - s * (xy1[:, 1] - y0) + x0
+        yr = s * (xy1[:, 0] - x0) + c * (xy1[:, 1] - y0) + y0
+        err = np.hypot(xr - xy2[:, 0], yr - xy2[:, 1])
+        frac_good = (err < 3.0).mean()
+        assert frac_good > 0.7, f"angle {angle}: {frac_good:.2f} consistent"
