@@ -133,14 +133,18 @@ def ic_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return ic_angles_from_maps(m10, m01, xy)
 
 
-def brief_descriptors(
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(N,256) {0,1} -> (N,8) packed uint32."""
+    n = bits.shape[0]
+    words = bits.astype(jnp.uint32).reshape(n, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def brief_descriptors_gather(
     img_blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray
 ) -> jnp.ndarray:
-    """Steered BRIEF -> packed uint32 descriptors (N, 8).
-
-    img_blurred: Gaussian-blurred level image; xy (N,2) level coords;
-    angles (N,) radians.
-    """
+    """Steered BRIEF via direct image gathers (512 point loads / keypoint)."""
     c = jnp.cos(angles)
     s = jnp.sin(angles)
     # rotate pattern: (N, 256, 2, 2)
@@ -150,12 +154,60 @@ def brief_descriptors(
     ry = s[:, None, None] * px + c[:, None, None] * py
     pts = jnp.stack([rx, ry], -1) + xy[:, None, None, :]      # (N,256,2,2)
     vals = _gather_nearest(img_blurred, pts)                  # (N,256,2)
-    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)   # (N,256)
-    # pack 256 bits -> 8 u32 words
-    n = bits.shape[0]
-    words = bits.reshape(n, 8, 32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+    bits = vals[..., 0] < vals[..., 1]
+    return _pack_bits(bits)
+
+
+def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, radius: int = PATCH_RADIUS
+                    ) -> jnp.ndarray:
+    """(H,W) + (N,2) -> (N, 2r+1, 2r+1) patches centred on rounded keypoints.
+
+    Row-gather formulation: one gather of full rows (contiguous, HBM-friendly)
+    then a take_along_axis column selection — orders of magnitude fewer
+    scalar loads than per-pixel gathers on TPU.
+    """
+    h, w = img.shape
+    d = 2 * radius + 1
+    x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), radius, w - radius - 1)
+    y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), radius, h - radius - 1)
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+    rows = img[y0[:, None] + offs[None, :], :]                  # (N, d, W)
+    cols = x0[:, None, None] + offs[None, None, :]              # (N, 1, d)
+    cols = jnp.broadcast_to(cols, (xy.shape[0], d, d))
+    return jnp.take_along_axis(rows, cols, axis=2)              # (N, d, d)
+
+
+def brief_descriptors_patch(
+    img_blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray
+) -> jnp.ndarray:
+    """Steered BRIEF via per-keypoint patch extraction + in-patch sampling.
+
+    The 512 test samples index into the keypoint's own (31,31) patch with
+    take_along_axis over a flat 961-vector — a batched small-domain gather
+    that the TPU vectorizes far better than scattered image loads.
+    """
+    r = PATCH_RADIUS
+    d = 2 * r + 1
+    patches = extract_patches(img_blurred, xy, r).reshape(xy.shape[0], d * d)
+    c = jnp.cos(angles)
+    s = jnp.sin(angles)
+    px = BRIEF_PATTERN[None, :, :, 0]
+    py = BRIEF_PATTERN[None, :, :, 1]
+    rx = c[:, None, None] * px - s[:, None, None] * py          # (N,256,2)
+    ry = s[:, None, None] * px + c[:, None, None] * py
+    xi = jnp.clip(jnp.round(rx).astype(jnp.int32) + r, 0, d - 1)
+    yi = jnp.clip(jnp.round(ry).astype(jnp.int32) + r, 0, d - 1)
+    flat = (yi * d + xi).reshape(xy.shape[0], -1)               # (N,512)
+    vals = jnp.take_along_axis(patches, flat, axis=1).reshape(
+        xy.shape[0], DESC_BITS, 2
+    )
+    bits = vals[..., 0] < vals[..., 1]
+    return _pack_bits(bits)
+
+
+# default implementation (selected for TPU gather behavior; both variants are
+# semantically identical up to patch-border clamping)
+brief_descriptors = brief_descriptors_patch
 
 
 def unpack_bits_i8(packed: jnp.ndarray) -> jnp.ndarray:

@@ -154,6 +154,86 @@ class PlaneSceneRenderer:
         return img.astype(np.uint8)
 
 
+class RoomSceneRenderer:
+    """Textured walls of a regular n-gon room with the camera inside —
+    supports full-lap trajectories that genuinely revisit their start
+    (loop-closure topology, the KITTI-00 analog).  Pure-numpy ray casting
+    against the wall planes; nearest valid hit wins.  More walls => gentler
+    grazing angles at the seams (an octagon tracks much better than a
+    square)."""
+
+    def __init__(self, rng: np.random.Generator, half=10.0, y_range=(-5.0, 5.0),
+                 res=40, rows=320, cols=416, n_walls=8):
+        self.half = half
+        self.rows = rows
+        self.cols = cols
+        self.y0, self.y1 = y_range
+        self.res = res
+        # wall width: chord of the polygon's inscribed-circle tangent faces
+        wall_w = 2 * half * np.tan(np.pi / n_walls)
+        self.walls = []
+        self.defs = []
+        for k in range(n_walls):
+            tex_src = PlaneSceneRenderer(
+                rng, x_range=(0.0, wall_w), y_range=y_range, plane_z=1.0,
+                res=res, rows=8, cols=8,
+            )
+            self.walls.append(tex_src.texture)
+            a = 2 * np.pi * k / n_walls
+            n = np.array([np.cos(a), 0.0, np.sin(a)])
+            u = np.array([-np.sin(a), 0.0, np.cos(a)])
+            self.defs.append((half * n, n, u))
+        self.wall_w = wall_w
+
+    def render(self, cam, T_cw: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        uu, vv = np.meshgrid(np.arange(self.cols), np.arange(self.rows))
+        pix = np.stack([uu.reshape(-1), vv.reshape(-1)], -1).astype(np.float32)
+        brg = np.asarray(cam.keypoints_to_bearings(jnp.asarray(pix)))
+        R = T_cw[:3, :3]
+        t = T_cw[:3, 3]
+        c = -R.T @ t
+        d = brg @ R
+        best_lam = np.full(len(d), np.inf)
+        out = np.zeros(len(d), np.float32)
+        for (p0, n, u_axis), tex in zip(self.defs, self.walls):
+            denom = d @ n
+            lam = ((p0 - c) @ n) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+            X = c[None, :] + lam[:, None] * d
+            tu = (X @ u_axis + self.wall_w / 2) * self.res
+            tv = (X[:, 1] - self.y0) * self.res
+            th, tw = tex.shape
+            ok = (
+                (lam > 1e-3) & (lam < best_lam)
+                & (tu >= 0) & (tu < tw - 1) & (tv >= 0) & (tv < th - 1)
+            )
+            x0 = np.clip(np.floor(tu).astype(int), 0, tw - 2)
+            y0 = np.clip(np.floor(tv).astype(int), 0, th - 2)
+            fx = np.clip(tu - x0, 0, 1)
+            fy = np.clip(tv - y0, 0, 1)
+            val = (
+                tex[y0, x0] * (1 - fx) * (1 - fy)
+                + tex[y0, x0 + 1] * fx * (1 - fy)
+                + tex[y0 + 1, x0] * (1 - fx) * fy
+                + tex[y0 + 1, x0 + 1] * fx * fy
+            )
+            out = np.where(ok, val, out)
+            best_lam = np.where(ok, lam, best_lam)
+        return out.reshape(self.rows, self.cols).astype(np.uint8)
+
+
+def lap_trajectory(n_frames: int, radius=6.0, laps=1.0, start_angle=0.0):
+    """Camera circling inside the room looking radially outward -> (N,4,4)."""
+    out = []
+    for i in range(n_frames):
+        a = start_angle + 2 * np.pi * laps * i / n_frames
+        eye = np.array([radius * np.cos(a), 0.0, radius * np.sin(a)])
+        target = eye * 2.5          # look outward along the radial direction
+        out.append(lookat_pose_cw(eye, target))
+    return np.stack(out)
+
+
 class PatchSceneRenderer:
     """Deterministic synthetic image sequence with known ground truth.
 
