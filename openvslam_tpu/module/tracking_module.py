@@ -245,12 +245,17 @@ class TrackingModule:
                 jnp.asarray(maxd),
                 jnp.int32(self.num_levels), jnp.float32(self.log_scale),
             )
+            # widen the search when the pose prior is weak (few seeds) —
+            # the reference similarly enlarges the margin when tracking is
+            # shaky (e.g. after relocalization)
+            n_seeds = int((frame.lm_idx >= 0).sum())
+            radius = 4.0 if n_seeds >= 50 else 9.0
             idx, dist, vis = TO.match_landmarks_by_projection(
                 self.cam, jnp.asarray(T_cur, jnp.float32), jnp.asarray(pos),
                 jnp.asarray(desc), jnp.asarray(valid),
                 jnp.asarray(frame.desc_i8), jnp.asarray(frame.xy_undist),
                 jnp.asarray(frame.valid), jnp.asarray(frame.level),
-                jnp.float32(4.0), jnp.asarray(self.scale_factors),
+                jnp.float32(radius), jnp.asarray(self.scale_factors),
                 np.asarray(pred),
             )
             idx = np.asarray(idx)
