@@ -77,11 +77,15 @@ class MapDatabase:
         self.loop_edges: List[Optional[Set[int]]] = [None] * max_kfs
 
         self.origin_kf = -1
+        # monotonically increasing mutation counter: device-side caches
+        # (e.g. the tracker's local-map mirror) key on this
+        self.version = 0
 
     # ------------------------------------------------------------------
     # keyframes
     # ------------------------------------------------------------------
     def add_keyframe(self, frame) -> int:
+        self.version += 1
         kf = self.n_kfs
         assert kf < self.max_kfs, "keyframe capacity exceeded"
         self.n_kfs += 1
@@ -109,6 +113,7 @@ class MapDatabase:
         return kf
 
     def erase_keyframe(self, kf: int):
+        self.version += 1
         """Remove a redundant keyframe, repairing the spanning tree
         (ref keyframe::erase: children reassigned to best candidate parents)."""
         if kf == self.origin_kf or not self.kf_valid[kf]:
@@ -156,6 +161,7 @@ class MapDatabase:
     # landmarks
     # ------------------------------------------------------------------
     def add_landmark(self, pos, desc_u32, desc_i8, ref_kf: int) -> int:
+        self.version += 1
         lm = self.n_lms
         assert lm < self.max_lms, "landmark capacity exceeded"
         self.n_lms += 1
@@ -194,6 +200,7 @@ class MapDatabase:
             self.erase_landmark(lm)
 
     def erase_landmark(self, lm: int):
+        self.version += 1
         if not self.lm_valid[lm]:
             return
         self.lm_valid[lm] = False
@@ -204,6 +211,7 @@ class MapDatabase:
         self.lm_num_obs[lm] = 0
 
     def replace_landmark(self, old: int, new: int):
+        self.version += 1
         """Merge `old` into `new` (ref landmark::replace)."""
         if old == new or not self.lm_valid[old]:
             return

@@ -130,6 +130,7 @@ class GlobalOptimizationModule:
         db.add_loop_edge(kf, cand)
         self._optimize_pose_graph(fixed_kf=cand)
         self.run_global_ba()
+        db.version += 1
 
     # ------------------------------------------------------------------
     def _optimize_pose_graph(self, fixed_kf: int):

@@ -313,6 +313,7 @@ class MappingModule:
         with lock:
             self._apply_ba_result(res, cam_index, lm_index, cam_opt,
                                   obs_refs, n_obs, lm_ids)
+            self.db.version += 1
 
     def _build_ba_problem(self, kf: int):
         db = self.db

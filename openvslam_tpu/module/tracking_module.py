@@ -56,6 +56,7 @@ class TrackingModule:
         self.log_scale = float(np.log(sf))
         self.num_levels = nl
         self.frames_since_reloc = 1 << 30
+        self._lm_cache = None      # device-resident local-map mirror
 
     # ------------------------------------------------------------------
     def track(self, frame: Frame) -> Optional[np.ndarray]:
@@ -219,54 +220,72 @@ class TrackingModule:
                 nmatch += 1
         return nmatch
 
-    def _track_local_map(self, frame: Frame, T_cur):
+    def _refresh_local_map_cache(self, frame: Frame):
+        """Device-resident local-map mirror, rebuilt only when the map
+        changed (db.version) or the reference KF moved — between keyframes
+        the same arrays are reused, so per-frame host->device traffic is
+        just the image and the pose (SURVEY.md §7 hard part 3)."""
         db = self.map_db
+        key = (db.version, self.ref_kf)
+        if self._lm_cache is not None and self._lm_cache["key"] == key:
+            return self._lm_cache
         seed = frame.lm_idx[frame.lm_idx >= 0]
         local_kfs, local_lms = db.acquire_local_map(seed, max_kfs=60)
-        if len(local_lms) == 0:
-            return T_cur, self.num_tracked
-        # exclude landmarks already matched in this frame
-        matched = set(int(x) for x in seed)
-        cand = np.array([l for l in local_lms if int(l) not in matched], np.int64)
         L = self.LOCAL_LM_CAP
-        n = min(len(cand), L)
-        if n > 0:
-            cand = cand[:n]
-            pos = np.zeros((L, 3), np.float32)
-            desc = np.zeros((L, 256), np.int8)
-            valid = np.zeros(L, bool)
+        n = min(len(local_lms), L)
+        cand = np.asarray(local_lms[:n], np.int64)
+        pos = np.zeros((L, 3), np.float32)
+        desc = np.zeros((L, 256), np.int8)
+        valid = np.zeros(L, bool)
+        maxd = np.zeros(L, np.float32)
+        if n:
             pos[:n] = db.lm_pos[cand]
             desc[:n] = db.lm_desc_i8[cand]
             valid[:n] = True
-            maxd = np.zeros(L, np.float32)
             maxd[:n] = db.lm_max_dist[cand]
-            pred = TO.predict_scale_levels(
-                jnp.asarray(pos), jnp.asarray(T_cur, jnp.float32),
-                jnp.asarray(maxd),
-                jnp.int32(self.num_levels), jnp.float32(self.log_scale),
-            )
-            # widen the search when the pose prior is weak (few seeds) —
-            # the reference similarly enlarges the margin when tracking is
-            # shaky (e.g. after relocalization)
-            n_seeds = int((frame.lm_idx >= 0).sum())
-            radius = 4.0 if n_seeds >= 50 else 9.0
-            idx, dist, vis = TO.match_landmarks_by_projection(
-                self.cam, jnp.asarray(T_cur, jnp.float32), jnp.asarray(pos),
-                jnp.asarray(desc), jnp.asarray(valid),
-                jnp.asarray(frame.desc_i8), jnp.asarray(frame.xy_undist),
-                jnp.asarray(frame.valid), jnp.asarray(frame.level),
-                jnp.float32(radius), jnp.asarray(self.scale_factors),
-                np.asarray(pred),
-            )
-            idx = np.asarray(idx)
-            vis_np = np.asarray(vis)
-            db.lm_n_visible[cand[vis_np[:n]]] += 1
-            for j in np.where(idx >= 0)[0]:
-                if j >= n:
-                    continue
-                kpt = int(idx[j])
-                if frame.lm_idx[kpt] < 0:
-                    frame.lm_idx[kpt] = cand[j]
+        self._lm_cache = {
+            "key": key, "cand": cand, "n": n,
+            "pos": jnp.asarray(pos), "desc": jnp.asarray(desc),
+            "valid": jnp.asarray(valid), "maxd": jnp.asarray(maxd),
+        }
+        return self._lm_cache
+
+    def _track_local_map(self, frame: Frame, T_cur):
+        db = self.map_db
+        cache = self._refresh_local_map_cache(frame)
+        n = cache["n"]
+        if n == 0:
+            return T_cur, self.num_tracked
+        pred = TO.predict_scale_levels(
+            cache["pos"], jnp.asarray(T_cur, jnp.float32), cache["maxd"],
+            jnp.int32(self.num_levels), jnp.float32(self.log_scale),
+        )
+        # only unmatched keypoints take part (matched lms are post-filtered)
+        kpt_free = frame.valid & (frame.lm_idx < 0)
+        n_seeds = int((frame.lm_idx >= 0).sum())
+        radius = 4.0 if n_seeds >= 50 else 9.0
+        idx, dist, vis = TO.match_landmarks_by_projection(
+            self.cam, jnp.asarray(T_cur, jnp.float32), cache["pos"],
+            cache["desc"], cache["valid"],
+            jnp.asarray(frame.desc_i8), jnp.asarray(frame.xy_undist),
+            jnp.asarray(kpt_free), jnp.asarray(frame.level),
+            jnp.float32(radius), jnp.asarray(self.scale_factors),
+            pred,
+        )
+        idx = np.asarray(idx)
+        cand = cache["cand"]
+        vis_np = np.asarray(vis)[:n]
+        db.lm_n_visible[cand[vis_np]] += 1
+        already = set(int(x) for x in frame.lm_idx[frame.lm_idx >= 0])
+        for j in np.where(idx >= 0)[0]:
+            if j >= n:
+                continue
+            lm = int(cand[j])
+            if lm in already or not db.lm_valid[lm]:
+                continue
+            kpt = int(idx[j])
+            if frame.lm_idx[kpt] < 0:
+                frame.lm_idx[kpt] = lm
         T_new, num_inl = self._pose_optimize(frame, T_cur)
         # bump found counters for inlier landmarks
         inl_lms = frame.lm_idx[(frame.lm_idx >= 0) & ~frame.outlier]
