@@ -206,8 +206,13 @@ def brief_descriptors_patch(
 
 
 # default implementation (selected for TPU gather behavior; both variants are
-# semantically identical up to patch-border clamping)
-brief_descriptors = brief_descriptors_patch
+# semantically identical up to patch-border clamping).  Overridable for A/B
+# measurement: OPENVSLAM_TPU_BRIEF=gather|patch
+brief_descriptors = (
+    brief_descriptors_gather
+    if os.environ.get("OPENVSLAM_TPU_BRIEF", "patch") == "gather"
+    else brief_descriptors_patch
+)
 
 
 def unpack_bits_i8(packed: jnp.ndarray) -> jnp.ndarray:
