@@ -8,7 +8,7 @@ and dotted-flat keys (``Camera.fx: ...``) so reference configs run unchanged.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import yaml
 

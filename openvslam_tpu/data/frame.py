@@ -10,7 +10,6 @@ import dataclasses
 from typing import Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 
 @dataclasses.dataclass

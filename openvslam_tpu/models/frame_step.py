@@ -9,7 +9,6 @@ image upload and one small pose download.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -5,7 +5,7 @@ global BA (SURVEY.md §3.4).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Set
+from typing import Dict, Optional, Set
 
 import numpy as np
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ widen -> inlier gate).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Set, Tuple
+from typing import List, Set, Tuple
 
 import numpy as np
 import jax
@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ..ops import bow as bow_ops
 from ..ops import match as M
-from ..ops import ransac, solvers, sim3
+from ..ops import ransac, solvers
 from ..optimize.sim3_transform import make_sim3_transform_optimizer
 
 

@@ -9,14 +9,13 @@ epipolar-gated matching, checked triangulation, dense-Schur local BA.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax.numpy as jnp
 
 from ..models import tracking_ops as TO
 from ..optimize.ba import BAProblem, make_local_ba
-from ..optimize import residuals as R
 
 
 class MappingModule:

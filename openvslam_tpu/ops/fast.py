@@ -15,7 +15,6 @@ Everything returns fixed-size arrays (capacity + validity mask).
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

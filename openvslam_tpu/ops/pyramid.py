@@ -6,9 +6,7 @@ whole pyramid.  Resize uses bilinear interpolation like cv::resize.
 """
 from __future__ import annotations
 
-import functools
-import math
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

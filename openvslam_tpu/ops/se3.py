@@ -12,7 +12,6 @@ Everything here broadcasts over arbitrary leading batch dims.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8

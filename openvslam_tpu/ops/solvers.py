@@ -10,7 +10,6 @@ hypotheses (see ``ops/ransac.py``).  Conventions:
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from . import se3

@@ -20,13 +20,11 @@ TPU-first design (SURVEY.md §7 "g2o -> hand-rolled LM"):
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from ..ops import se3
 from . import residuals as R
 
 

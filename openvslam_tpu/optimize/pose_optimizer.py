@@ -9,13 +9,11 @@ Fixed observation capacity + validity mask.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from ..ops import se3
 from . import residuals as R
 
 

@@ -23,7 +23,6 @@ reference's single-machine g2o.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

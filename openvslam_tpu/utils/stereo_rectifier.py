@@ -5,8 +5,6 @@ and warp incoming images with one jitted bilinear remap — the cv::initUndistor
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
