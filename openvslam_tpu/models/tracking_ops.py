@@ -28,7 +28,7 @@ def match_landmarks_by_projection(
     cam, T_cw, lm_pos, lm_desc_i8, lm_valid,
     kpt_desc_i8, kpt_xy_undist, kpt_valid, kpt_level,
     radius_scale, scale_factors, lm_pred_level,
-    max_dist=M.HAMMING_DIST_THR_HIGH, ratio=0.9,
+    max_dist=M.HAMMING_DIST_THR_HIGH, ratio=None,
 ):
     """Guided 3D->2D search (ref match::projection): project landmarks, gate
     keypoints by radius (scaled by predicted octave) and octave consistency,

@@ -188,15 +188,22 @@ def brief_descriptors_patch(
     """
     r = PATCH_RADIUS
     d = 2 * r + 1
+    h, w = img_blurred.shape
     patches = extract_patches(img_blurred, xy, r).reshape(xy.shape[0], d * d)
+    # fractional part of the (clamped) centre: sampling positions must round
+    # exactly like the direct-gather formulation round(center + offset)
+    x0 = jnp.clip(jnp.round(xy[:, 0]), r, w - r - 1)
+    y0 = jnp.clip(jnp.round(xy[:, 1]), r, h - r - 1)
+    fx = (xy[:, 0] - x0)[:, None, None]
+    fy = (xy[:, 1] - y0)[:, None, None]
     c = jnp.cos(angles)
     s = jnp.sin(angles)
     px = BRIEF_PATTERN[None, :, :, 0]
     py = BRIEF_PATTERN[None, :, :, 1]
     rx = c[:, None, None] * px - s[:, None, None] * py          # (N,256,2)
     ry = s[:, None, None] * px + c[:, None, None] * py
-    xi = jnp.clip(jnp.round(rx).astype(jnp.int32) + r, 0, d - 1)
-    yi = jnp.clip(jnp.round(ry).astype(jnp.int32) + r, 0, d - 1)
+    xi = jnp.clip(jnp.round(rx + fx).astype(jnp.int32) + r, 0, d - 1)
+    yi = jnp.clip(jnp.round(ry + fy).astype(jnp.int32) + r, 0, d - 1)
     flat = (yi * d + xi).reshape(xy.shape[0], -1)               # (N,512)
     vals = jnp.take_along_axis(patches, flat, axis=1).reshape(
         xy.shape[0], DESC_BITS, 2

@@ -82,7 +82,9 @@ class PlaneSceneRenderer:
     """
 
     def __init__(self, rng: np.random.Generator, x_range=(-4.0, 18.0),
-                 y_range=(-6.0, 6.0), plane_z=7.0, res=60, rows=320, cols=416):
+                 y_range=(-6.0, 6.0), plane_z=7.0, res=60, rows=320, cols=416,
+                 octaves=((4, 0.2), (16, 0.4), (64, 1.0), (128, 0.6)),
+                 dots=True):
         self.x0, self.x1 = x_range
         self.y0, self.y1 = y_range
         self.plane_z = plane_z
@@ -93,7 +95,7 @@ class PlaneSceneRenderer:
         th = int((self.y1 - self.y0) * res)
         # multi-octave value noise for FAST-friendly structure
         tex = np.zeros((th, tw))
-        for octave, amp in [(4, 0.2), (16, 0.4), (64, 1.0), (128, 0.6)]:
+        for octave, amp in octaves:
             gh = max(2, octave * th // max(th, tw))
             gw = max(2, octave)
             coarse = rng.random((gh, gw))
@@ -112,11 +114,13 @@ class PlaneSceneRenderer:
                 + coarse[np.ix_(y1, x1)] * fy * fx
             )
             tex += amp * interp
-        # add salt-and-pepper corners
-        n_dots = tw * th // 300
-        ys = rng.integers(1, th - 1, n_dots)
-        xs = rng.integers(1, tw - 1, n_dots)
-        tex[ys, xs] += rng.uniform(-1.5, 1.5, n_dots)
+        if dots:
+            # salt-and-pepper corners (aliases under resampling; disable for
+            # viewing-angle-heavy sequences)
+            n_dots = tw * th // 300
+            ys = rng.integers(1, th - 1, n_dots)
+            xs = rng.integers(1, tw - 1, n_dots)
+            tex[ys, xs] += rng.uniform(-1.5, 1.5, n_dots)
         tex -= tex.min()
         tex /= max(tex.max(), 1e-9)
         self.texture = (20 + tex * 225).astype(np.float32)
@@ -163,7 +167,9 @@ class RoomSceneRenderer:
     square)."""
 
     def __init__(self, rng: np.random.Generator, half=10.0, y_range=(-5.0, 5.0),
-                 res=40, rows=320, cols=416, n_walls=8):
+                 res=40, rows=320, cols=416, n_walls=8,
+                 octaves=((4, 0.2), (16, 0.4), (64, 1.0), (128, 0.6)),
+                 dots=True):
         self.half = half
         self.rows = rows
         self.cols = cols
@@ -176,7 +182,7 @@ class RoomSceneRenderer:
         for k in range(n_walls):
             tex_src = PlaneSceneRenderer(
                 rng, x_range=(0.0, wall_w), y_range=y_range, plane_z=1.0,
-                res=res, rows=8, cols=8,
+                res=res, rows=8, cols=8, octaves=octaves, dots=dots,
             )
             self.walls.append(tex_src.texture)
             a = 2 * np.pi * k / n_walls
