@@ -89,9 +89,14 @@ class OrbFrontend:
                 lvl_img, self.ini_fast_thr, self.min_fast_thr, budget,
                 cell=self.cell, mask=lvl_mask,
             )
-            ang = orb.ic_angles(lvl_img, xy)
             blurred = pyramid.gaussian_blur(lvl_img)
-            d_u32 = orb.brief_descriptors(blurred, xy, ang)
+            if orb._BRIEF_IMPL == "mxu":
+                # fused zero-gather path: orientation + descriptors from one
+                # patch extraction (see ops.orb.describe_mxu)
+                d_u32, ang = orb.describe_mxu(blurred, xy)
+            else:
+                ang = orb.ic_angles(lvl_img, xy)
+                d_u32 = orb.brief_descriptors(blurred, xy, ang)
             xs.append(xy * self.scales[l])
             rs.append(resp)
             ls.append(jnp.full(budget, l, jnp.int32))

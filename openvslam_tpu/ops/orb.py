@@ -212,14 +212,84 @@ def brief_descriptors_patch(
     return _pack_bits(bits)
 
 
-# default implementation (selected for TPU gather behavior; both variants are
-# semantically identical up to patch-border clamping).  Overridable for A/B
-# measurement: OPENVSLAM_TPU_BRIEF=gather|patch
-brief_descriptors = (
-    brief_descriptors_gather
-    if os.environ.get("OPENVSLAM_TPU_BRIEF", "patch") == "gather"
-    else brief_descriptors_patch
-)
+def describe_mxu(img_blurred: jnp.ndarray, xy: jnp.ndarray):
+    """Orientation + steered BRIEF with ZERO scattered gathers: everything is
+    one contiguous row gather plus one-hot selection matmuls on the MXU.
+
+    TPU gathers run at ~15M scalar loads/s — the ~0.5M loads/frame of the
+    direct formulation cost ~35 ms.  Reformulated as batched one-hot
+    contractions (~4 GFLOP bf16) the same work is MXU-bound:
+
+      1. patches  = rows[kpt] x onehot(cols)           (N,d,W)@(N,W,d)
+      2. m10/m01  = patch x ramp weights               (square IC moments)
+      3. sampling = onehot(y) x patch x onehot(x)      per-test bilinear-free
+                    selection, separable over the two patch axes
+
+    Returns (desc_u32 (N,8), angles (N,)).
+    """
+    r = PATCH_RADIUS
+    d = 2 * r + 1
+    h, w = img_blurred.shape
+    n = xy.shape[0]
+    bf = jnp.bfloat16
+
+    x0 = jnp.clip(jnp.round(xy[:, 0]), r, w - r - 1)
+    y0 = jnp.clip(jnp.round(xy[:, 1]), r, h - r - 1)
+    fx = (xy[:, 0] - x0)[:, None, None]
+    fy = (xy[:, 1] - y0)[:, None, None]
+    offs = jnp.arange(-r, r + 1, dtype=jnp.int32)
+
+    # 1. patch extraction: contiguous row gather + column one-hot matmul
+    rows = img_blurred[y0.astype(jnp.int32)[:, None] + offs[None, :], :]  # (N,d,W)
+    cols = x0.astype(jnp.int32)[:, None] + offs[None, :]                   # (N,d)
+    oh_c = (cols[:, None, :] == jnp.arange(w, dtype=jnp.int32)[None, :, None])
+    patch = jax.lax.dot_general(
+        rows.astype(bf), oh_c.astype(bf),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                                       # (N,d,d)
+
+    # 2. IC orientation from the same patch (square moments, as ic_moment_maps)
+    ramp = offs.astype(jnp.float32)
+    m10 = jnp.einsum("nrc,c->n", patch, ramp)
+    m01 = jnp.einsum("nrc,r->n", patch, ramp)
+    angles = jnp.arctan2(m01, m10)
+
+    # 3. steered BRIEF sampling via separable one-hot selection
+    c = jnp.cos(angles)
+    s = jnp.sin(angles)
+    px = BRIEF_PATTERN[None, :, :, 0]
+    py = BRIEF_PATTERN[None, :, :, 1]
+    rx = c[:, None, None] * px - s[:, None, None] * py
+    ry = s[:, None, None] * px + c[:, None, None] * py
+    xi = jnp.clip(jnp.round(rx + fx).astype(jnp.int32) + r, 0, d - 1)
+    yi = jnp.clip(jnp.round(ry + fy).astype(jnp.int32) + r, 0, d - 1)
+    xi = xi.reshape(n, -1)                                                  # (N,512)
+    yi = yi.reshape(n, -1)
+    oh_y = (yi[:, :, None] == jnp.arange(d, dtype=jnp.int32)[None, None, :])
+    oh_x = (xi[:, :, None] == jnp.arange(d, dtype=jnp.int32)[None, None, :])
+    tmp = jax.lax.dot_general(
+        oh_y.astype(bf), patch.astype(bf),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                                       # (N,512,d)
+    vals = jnp.sum(tmp * oh_x.astype(jnp.float32), axis=-1)                 # (N,512)
+    vals = vals.reshape(n, DESC_BITS, 2)
+    bits = vals[..., 0] < vals[..., 1]
+    return _pack_bits(bits), angles
+
+
+def brief_descriptors_mxu(img_blurred, xy, angles_unused=None):
+    return describe_mxu(img_blurred, xy)[0]
+
+
+# default implementation, overridable for A/B measurement:
+# OPENVSLAM_TPU_BRIEF=gather|patch|mxu
+_BRIEF_IMPL = os.environ.get("OPENVSLAM_TPU_BRIEF", "gather")
+brief_descriptors = {
+    "gather": brief_descriptors_gather,
+    "patch": brief_descriptors_patch,
+}.get(_BRIEF_IMPL, brief_descriptors_mxu)
 
 
 def unpack_bits_i8(packed: jnp.ndarray) -> jnp.ndarray:
