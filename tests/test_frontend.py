@@ -75,3 +75,28 @@ def test_rotation_invariance(rng):
         err = np.hypot(xr - xy2[:, 0], yr - xy2[:, 1])
         frac_good = (err < 3.0).mean()
         assert frac_good > 0.7, f"angle {angle}: {frac_good:.2f} consistent"
+
+
+def test_describe_variants_agree(rng):
+    """gather / patch / mxu descriptor paths must agree for interior
+    keypoints (identical rounding semantics)."""
+    import jax.numpy as jnp
+    from openvslam_tpu.ops import orb, pyramid
+
+    img = _textured_image(rng).astype(np.float32)
+    blurred = pyramid.gaussian_blur(jnp.asarray(img))
+    xy = jnp.asarray(
+        np.stack([rng.uniform(30, 380, 64), rng.uniform(30, 280, 64)], -1),
+        jnp.float32,
+    )
+    ang = orb.ic_angles(jnp.asarray(img), xy)
+    d_gather = np.asarray(orb.brief_descriptors_gather(blurred, xy, ang))
+    d_patch = np.asarray(orb.brief_descriptors_patch(blurred, xy, ang))
+    d_mxu, ang_mxu = orb.describe_mxu(blurred, xy)
+    d_mxu = np.asarray(d_mxu)
+    # gather vs patch: identical bit-for-bit in the interior
+    ham_gp = np.bitwise_count(d_gather ^ d_patch).sum(-1)
+    assert np.median(ham_gp) <= 2, ham_gp
+    # mxu computes its own (blurred-patch) angle: bits should still be close
+    ham_gm = np.bitwise_count(d_gather ^ d_mxu).sum(-1)
+    assert np.median(ham_gm) <= 24, np.quantile(ham_gm, [0.5, 0.9])
