@@ -90,7 +90,7 @@ class OrbFrontend:
                 cell=self.cell, mask=lvl_mask,
             )
             blurred = pyramid.gaussian_blur(lvl_img)
-            if orb._BRIEF_IMPL == "mxu":
+            if orb.brief_impl_name() == "mxu":
                 # fused zero-gather path: orientation + descriptors from one
                 # patch extraction (see ops.orb.describe_mxu)
                 d_u32, ang = orb.describe_mxu(blurred, xy)

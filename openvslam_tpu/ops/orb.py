@@ -283,13 +283,36 @@ def brief_descriptors_mxu(img_blurred, xy, angles_unused=None):
     return describe_mxu(img_blurred, xy)[0]
 
 
-# default implementation, overridable for A/B measurement:
-# OPENVSLAM_TPU_BRIEF=gather|patch|mxu
-_BRIEF_IMPL = os.environ.get("OPENVSLAM_TPU_BRIEF", "gather")
-brief_descriptors = {
+# Implementation choice, overridable for A/B measurement via
+# OPENVSLAM_TPU_BRIEF=gather|patch|mxu.  Unset -> backend-dependent default:
+# mxu on TPU (one-hot MXU contractions beat scattered gathers ~4x: 9.3 ms vs
+# 38 ms per 480x640 frame step, NOTES.md r1), gather on CPU (native gathers
+# are fast there and the one-hot matmuls are not).
+_BRIEF_IMPLS = {
     "gather": brief_descriptors_gather,
     "patch": brief_descriptors_patch,
-}.get(_BRIEF_IMPL, brief_descriptors_mxu)
+    "mxu": brief_descriptors_mxu,
+}
+_brief_resolved = None
+
+
+def _resolve_brief_impl():
+    global _brief_resolved
+    if _brief_resolved is None:
+        name = os.environ.get("OPENVSLAM_TPU_BRIEF", "")
+        if name not in _BRIEF_IMPLS:
+            name = "mxu" if jax.default_backend() != "cpu" else "gather"
+        _brief_resolved = _BRIEF_IMPLS[name]
+    return _brief_resolved
+
+
+def brief_impl_name() -> str:
+    impl = _resolve_brief_impl()
+    return next(k for k, v in _BRIEF_IMPLS.items() if v is impl)
+
+
+def brief_descriptors(img_blurred, xy, angles):
+    return _resolve_brief_impl()(img_blurred, xy, angles)
 
 
 def unpack_bits_i8(packed: jnp.ndarray) -> jnp.ndarray:
