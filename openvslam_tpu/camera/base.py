@@ -89,3 +89,22 @@ def make_camera_from_config(cam_cfg: Mapping[str, Any]):
     if model == "equirectangular":
         return Equirectangular.create(cols=cols, rows=rows, fps=fps)
     raise ValueError(f"unknown camera model: {model}")
+
+
+def camera_to_config(cam) -> dict:
+    """Inverse of make_camera_from_config: a serializable spec dict (used by
+    the camera database, ref ``data/camera_database``)."""
+    model = getattr(cam, "model_name", "perspective")
+    spec = {
+        "model": model,
+        "setup": cam.setup.value,
+        "cols": int(cam.cols),
+        "rows": int(cam.rows),
+        "fps": float(cam.fps),
+        "focal_x_baseline": float(getattr(cam, "focal_x_baseline", 0.0)),
+        "depth_threshold": float(getattr(cam, "depth_threshold", 40.0)),
+    }
+    for k in ("fx", "fy", "cx", "cy", "k1", "k2", "p1", "p2", "k3", "k4"):
+        if hasattr(cam, k):
+            spec[k] = float(getattr(cam, k))
+    return spec

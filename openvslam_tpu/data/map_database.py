@@ -81,6 +81,36 @@ class MapDatabase:
         # (e.g. the tracker's local-map mirror) key on this
         self.version = 0
 
+        # --- camera database (ref data/camera_database): name -> spec dict
+        # (serializable; camera_from spec via camera.base factory) plus the
+        # camera each keyframe was captured with
+        self.cameras: Dict[str, dict] = {}
+        self.kf_camera: List[Optional[str]] = [None] * max_kfs
+        self.default_camera: Optional[str] = None
+
+    # ------------------------------------------------------------------
+    # camera database
+    # ------------------------------------------------------------------
+    def register_camera(self, name: str, spec: dict,
+                        make_default: bool = False) -> str:
+        """Register a camera spec; returns the stored name (suffixed on a
+        spec-mismatching collision, the multi-session case)."""
+        if name in self.cameras and self.cameras[name] != spec:
+            base = name
+            i = 2
+            while name in self.cameras and self.cameras[name] != spec:
+                name = f"{base}#{i}"
+                i += 1
+        self.cameras[name] = spec
+        if make_default or self.default_camera is None:
+            self.default_camera = name
+        return name
+
+    def get_camera(self, name: str):
+        """Instantiate the camera object for a registered spec."""
+        from ..camera.base import make_camera_from_config
+        return make_camera_from_config(self.cameras[name])
+
     # ------------------------------------------------------------------
     # keyframes
     # ------------------------------------------------------------------
@@ -104,6 +134,7 @@ class MapDatabase:
         self.kf_x_right[kf] = frame.x_right.copy()
         self.kf_depth[kf] = frame.depth.copy()
         self.kf_lm_idx[kf] = np.full(self.K, -1, np.int32)
+        self.kf_camera[kf] = self.default_camera
         self.covis[kf] = {}
         self.covis_ordered[kf] = np.zeros(0, np.int32)
         self.children[kf] = set()
@@ -365,6 +396,13 @@ class MapDatabase:
             self.children[new] = set()
             self.loop_edges[new] = set()
             kf_map[kf] = new
+        # merge camera registries; remap per-KF camera names
+        cam_name_map: Dict[str, str] = {}
+        for cname, spec in other.cameras.items():
+            cam_name_map[cname] = self.register_camera(cname, spec)
+        for old_kf, new_kf in kf_map.items():
+            cn = other.kf_camera[old_kf]
+            self.kf_camera[new_kf] = cam_name_map.get(cn, cn)
         for lm in other.valid_lm_ids():
             lm = int(lm)
             ref = other.lm_ref_kf[lm]

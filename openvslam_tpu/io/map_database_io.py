@@ -40,6 +40,7 @@ def save_map(db, cfg, path: str):
             "lm_idx": _pack_nd(db.kf_lm_idx[kf]),
             "parent": int(db.parent[kf]),
             "loop_edges": sorted(int(x) for x in db.loop_edges[kf]),
+            "camera": db.kf_camera[kf],
         })
     lms = []
     for lm in db.valid_lm_ids():
@@ -76,6 +77,10 @@ def save_map(db, cfg, path: str):
             "scale_factor": cfg.feature.scale_factor,
             "num_levels": cfg.feature.num_levels,
         },
+        # camera database (ref data/camera_database): every camera any
+        # keyframe in this map was captured with
+        "cameras": dict(db.cameras),
+        "default_camera": db.default_camera,
         "origin_kf": int(db.origin_kf),
         "keyframes": kfs,
         "landmarks": lms,
@@ -92,6 +97,15 @@ def load_map(db, path: str):
         blob = msgpack.unpackb(f.read(), raw=False)
     assert blob.get("format", "").startswith("openvslam_tpu/")
     assert db.n_kfs == 0 and db.n_lms == 0, "load into a fresh database"
+
+    # register cameras; a name collision with a pre-registered but different
+    # camera (e.g. the loading session's own) gets suffixed, so remap
+    cam_name_map: Dict[str, str] = {}
+    for name, spec in blob.get("cameras", {}).items():
+        cam_name_map[name] = db.register_camera(name, spec)
+    if blob.get("default_camera"):
+        db.default_camera = cam_name_map.get(
+            blob["default_camera"], blob["default_camera"])
 
     id_map_kf: Dict[int, int] = {}
     for k in blob["keyframes"]:
@@ -115,6 +129,8 @@ def load_map(db, path: str):
         db.kf_x_right[kf] = _unpack_nd(k["x_right"])
         db.kf_depth[kf] = _unpack_nd(k["depth"])
         db.kf_lm_idx[kf] = np.full(db.K, -1, np.int32)
+        cn = k.get("camera")
+        db.kf_camera[kf] = cam_name_map.get(cn, cn)
         db.covis[kf] = {}
         db.covis_ordered[kf] = np.zeros(0, np.int32)
         db.children[kf] = set()

@@ -39,6 +39,11 @@ class GlobalOptimizationModule:
         self.last_loop_kf = -1
         self.loop_enabled = cfg.loop.enabled
         self._global_ba_cache = {}
+        # background global BA (ref: loop closure spawns a BA thread and
+        # propagates keyframes/landmarks born while it ran)
+        self.async_global_ba = False
+        self.map_lock = None            # set by System (shared map mutex)
+        self._gba_thread = None
         nl = cfg.feature.num_levels
         sf = cfg.feature.scale_factor
         self.sigma2 = np.array([sf ** (2 * l) for l in range(nl)], np.float32)
@@ -227,13 +232,53 @@ class GlobalOptimizationModule:
             db.update_connections(int(k), set_parent=False)
 
     # ------------------------------------------------------------------
+    def loop_BA_is_running(self) -> bool:
+        return self._gba_thread is not None and self._gba_thread.is_alive()
+
+    def join_global_ba(self, timeout: Optional[float] = None):
+        if self._gba_thread is not None:
+            self._gba_thread.join(timeout)
+            self._gba_thread = None
+
     def run_global_ba(self, iters: int = 10):
-        """Full-map BA (ref loop_bundle_adjuster; synchronous here, abortable
-        by iteration budget)."""
-        db = self.db
+        """Full-map BA after loop correction (ref loop_bundle_adjuster).
+
+        Synchronous by default; with ``async_global_ba`` the solve runs in a
+        background thread on a padded snapshot and, on completion, keyframes
+        and landmarks created while it ran are propagated onto the optimized
+        map (the reference's born-during-BA pass in
+        global_optimization_module::run_loop_BA)."""
         if self.abort_global_ba:
             self.abort_global_ba = False
             return
+        built = self._build_global_ba(iters)
+        if built is None:
+            return
+        if not self.async_global_ba:
+            res = built["ba"](built["prob"])
+            self._apply_global_ba(res, built)
+            return
+        import threading
+
+        def _worker():
+            res = built["ba"](built["prob"])      # jitted solve, no lock
+            import contextlib
+            lock = self.map_lock if self.map_lock is not None \
+                else contextlib.nullcontext()
+            with lock:
+                if self.abort_global_ba:
+                    self.abort_global_ba = False
+                    return
+                self._apply_global_ba(res, built)
+                self.db.version += 1
+
+        self.join_global_ba()
+        self._gba_thread = threading.Thread(
+            target=_worker, daemon=True, name="global-ba")
+        self._gba_thread.start()
+
+    def _build_global_ba(self, iters: int = 10):
+        db = self.db
         kf_ids = db.valid_kf_ids()
         lm_ids = db.valid_lm_ids()
         n_c, n_l = len(kf_ids), len(lm_ids)
@@ -288,12 +333,57 @@ class GlobalOptimizationModule:
             jnp.asarray(oc), jnp.asarray(ol), jnp.asarray(ouv),
             jnp.asarray(osg), jnp.asarray(om),
         )
-        res = ba(prob)
+        return {
+            "ba": ba, "prob": prob, "cam_index": cam_index,
+            "lm_index": lm_index, "cam_opt": cam_opt,
+        }
+
+    def _apply_global_ba(self, res, built):
+        """Write back BA results; keyframes/landmarks created after the
+        snapshot are propagated via their nearest snapshotted spanning-tree
+        ancestor / reference keyframe (ref run_loop_BA born-during pass)."""
+        db = self.db
+        cam_index = built["cam_index"]
+        lm_index = built["lm_index"]
+        cam_opt = built["cam_opt"]
         T_new = np.asarray(res.T_cw)
         X_new = np.asarray(res.X)
+
+        # pre-correction poses of every currently-valid KF (snapshot members
+        # use their snapshot pose: the map may have moved them since)
+        T_pre = {int(k): db.kf_pose_cw[int(k)].copy() for k in db.valid_kf_ids()}
+        new_pose = {}
         for k, i in cam_index.items():
-            if cam_opt[i]:
-                db.kf_pose_cw[k] = T_new[i]
-        for l, i in lm_index.items():
-            if db.lm_valid[l]:
-                db.lm_pos[l] = X_new[i]
+            if db.kf_valid[k]:
+                new_pose[k] = T_new[i] if cam_opt[i] else db.kf_pose_cw[k]
+        # born-during keyframes: T_child_new = T_child_old @ inv(T_anc_old) @ T_anc_new
+        for k in db.valid_kf_ids():
+            k = int(k)
+            if k in cam_index:
+                continue
+            anc = k
+            hops = 0
+            while anc not in cam_index and anc >= 0 and hops < 256:
+                anc = int(db.parent[anc])
+                hops += 1
+            if anc not in cam_index:
+                continue
+            rel = T_pre[k] @ np.linalg.inv(T_pre[anc])
+            new_pose[k] = (rel @ new_pose.get(anc, T_pre[anc])).astype(
+                np.float32)
+        # landmarks: snapshot members take BA output; born-during ones move
+        # with their reference keyframe's old->new correction
+        for lm in db.valid_lm_ids():
+            lm = int(lm)
+            if lm in lm_index:
+                db.lm_pos[lm] = X_new[lm_index[lm]]
+                continue
+            ref = int(db.lm_ref_kf[lm])
+            if ref not in new_pose or ref not in T_pre:
+                continue
+            To = T_pre[ref]
+            Tn = new_pose[ref]
+            Xc = To[:3, :3] @ db.lm_pos[lm] + To[:3, 3]
+            db.lm_pos[lm] = (Tn[:3, :3].T @ (Xc - Tn[:3, 3])).astype(np.float32)
+        for k, Tk in new_pose.items():
+            db.kf_pose_cw[k] = Tk.astype(np.float32)

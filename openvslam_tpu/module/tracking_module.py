@@ -57,6 +57,7 @@ class TrackingModule:
         self.num_levels = nl
         self.frames_since_reloc = 1 << 30
         self._lm_cache = None      # device-resident local-map mirror
+        self._peak_tracked = 0     # max inliers since the last keyframe
 
     # ------------------------------------------------------------------
     def track(self, frame: Frame) -> Optional[np.ndarray]:
@@ -330,6 +331,7 @@ class TrackingModule:
             return None
         frame.pose_cw = T_cur.astype(np.float32)
         self.num_tracked = num_inl
+        self._peak_tracked = max(self._peak_tracked, num_inl)
         self.velocity = (frame.pose_cw @ np.linalg.inv(self.last_frame.pose_cw)).astype(np.float32)
         self.frames_since_reloc += 1
         if self._new_keyframe_needed(frame):
@@ -400,13 +402,21 @@ class TrackingModule:
         max_frames = int(self.cam.fps)
         cond_a = frames_since >= max_frames
         cond_c = self.num_tracked < n_reliable * 0.9
+        # decay rule (beyond the reference): under sustained panning the
+        # tracked count bursts after each KF then decays as landmarks exit
+        # the forward FOV edge; waiting for cond_c leaves the count hovering
+        # just above the lost threshold.  Insert when the count halves from
+        # its post-KF peak so triangulation refills the leading edge early.
+        cond_d = (frames_since >= 1
+                  and self.num_tracked < 0.5 * self._peak_tracked)
         enough = self.num_tracked > 15
-        return enough and (cond_a or cond_c)
+        return enough and (cond_a or cond_c or cond_d)
 
     def _insert_keyframe(self, frame: Frame):
         kf = self.mapper.insert_keyframe(frame)
         self.ref_kf = kf
         self.last_kf_frame_id = frame.frame_id
+        self._peak_tracked = 0
 
     # ------------------------------------------------------------------
     def _relocalize(self, frame: Frame):

@@ -16,7 +16,7 @@ class FramePublisher:
         self._lock = threading.Lock()
         self._snap: Optional[Dict] = None
 
-    def publish(self, frame, state_name: str):
+    def publish(self, frame, state_name: str, image=None):
         with self._lock:
             self._snap = {
                 "frame_id": frame.frame_id,
@@ -25,6 +25,9 @@ class FramePublisher:
                 "keypoints": frame.xy[frame.valid].copy(),
                 "tracked": (frame.lm_idx >= 0)[frame.valid].copy(),
                 "pose_cw": None if frame.pose_cw is None else frame.pose_cw.copy(),
+                # grayscale uint8 view for viewers (ref frame_publisher draws
+                # keypoints on the image); None when the caller skips it
+                "image": None if image is None else np.asarray(image),
             }
 
     def get_current_frame(self) -> Optional[Dict]:

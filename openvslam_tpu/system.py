@@ -55,16 +55,26 @@ class System:
             min_fast_thr=cfg.feature.min_fast_threshold,
         )
         self.map_db = MapDatabase(kpt_capacity=self.frontend.capacity)
-        self.global_optimizer = None
-        if vocab_path is not None:
-            from .module.global_optimization_module import GlobalOptimizationModule
-            self.global_optimizer = GlobalOptimizationModule(
-                cfg, self.cam, self.map_db, vocab_path
-            )
+        # register this session's camera in the map's camera database
+        from .camera.base import camera_to_config
+        self.camera_name = self.map_db.register_camera(
+            cfg.raw.get("Camera", {}).get("name", "default"),
+            camera_to_config(self.cam), make_default=True,
+        )
+        # Always build the BoW stack (ref: a vocabulary file is mandatory):
+        # vocab_path None uses the built-in default vocabulary, so every
+        # session has relocalization; loop detection stays gated by
+        # cfg.loop.enabled inside the module.
+        from .module.global_optimization_module import GlobalOptimizationModule
+        self.global_optimizer = GlobalOptimizationModule(
+            cfg, self.cam, self.map_db, vocab_path
+        )
         self.mapper = MappingModule(
             cfg, self.cam, self.map_db, global_optimizer=self.global_optimizer
         )
         self.map_lock = threading.RLock()
+        self.global_optimizer.map_lock = self.map_lock
+        self.global_optimizer.async_global_ba = async_mapping
         tracker_mapper = self.mapper
         if async_mapping:
             self.mapper.map_lock = self.map_lock
@@ -101,6 +111,8 @@ class System:
     def shutdown(self):
         if self._async and isinstance(self._tracker_mapper, _AsyncMapperProxy):
             self._tracker_mapper.drain()
+        if self.global_optimizer is not None:
+            self.global_optimizer.join_global_ba(timeout=120)
         self._running = False
 
     def enable_mapping_module(self):
@@ -128,15 +140,31 @@ class System:
             self.global_optimizer.abort_global_ba = True
 
     def loop_BA_is_running(self) -> bool:
-        return False    # global BA runs inline in this build
+        if self.global_optimizer is None:
+            return False
+        return self.global_optimizer.loop_BA_is_running()
 
     def request_reset(self):
         self.map_db = MapDatabase(kpt_capacity=self.frontend.capacity)
+        from .camera.base import camera_to_config
+        self.camera_name = self.map_db.register_camera(
+            self.camera_name, camera_to_config(self.cam), make_default=True,
+        )
         self.mapper.db = self.map_db
         self.tracker.map_db = self.map_db
         self.tracker.state = TrackerState.NOT_INITIALIZED
         self.tracker.init_frame = None
         self.tracker.last_frame = None
+        if self.global_optimizer is not None:
+            go = self.global_optimizer
+            go.db = self.map_db
+            go.bow_db.map_db = self.map_db
+            go.bow_db.inverted = [set() for _ in range(go.bow_db.vocab.num_words)]
+            go.bow_db.kf_words.clear()
+            go.bow_db.kf_bow.clear()
+            go.loop_detector.db = self.map_db
+            go.relocalizer.db = self.map_db
+            go.last_loop_kf = -1
         self.map_publisher = MapPublisher(self.map_db)
         self.trajectory.clear()
 
@@ -156,7 +184,7 @@ class System:
         with self.map_lock:
             pose = self.tracker.track(frame)
         self.track_times.append(_time.perf_counter() - _t0)
-        self._publish(frame, pose)
+        self._publish(frame, pose, image=img)
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
         return pose
 
@@ -187,7 +215,7 @@ class System:
         with self.map_lock:
             pose = self.tracker.track(frame)
         self.track_times.append(_time.perf_counter() - _t0)
-        self._publish(frame, pose)
+        self._publish(frame, pose, image=l_img)
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
         return pose
 
@@ -217,12 +245,12 @@ class System:
         with self.map_lock:
             pose = self.tracker.track(frame)
         self.track_times.append(_time.perf_counter() - _t0)
-        self._publish(frame, pose)
+        self._publish(frame, pose, image=img)
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
         return pose
 
-    def _publish(self, frame, pose):
-        self.frame_publisher.publish(frame, self.tracker.state.name)
+    def _publish(self, frame, pose, image=None):
+        self.frame_publisher.publish(frame, self.tracker.state.name, image=image)
         if pose is not None:
             self.map_publisher.set_current_pose(pose)
 

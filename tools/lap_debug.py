@@ -15,6 +15,7 @@ import numpy as np
 def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 90
     laps = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
+    loop_on = len(sys.argv) > 3 and sys.argv[3] == "loop"
 
     from openvslam_tpu.config import Config
     from openvslam_tpu.system import System
@@ -28,7 +29,7 @@ def main():
             "cols": cols, "rows": rows, "fps": 20,
         },
         "Feature": {"max_num_keypts": 600, "num_levels": 4, "scale_factor": 1.2},
-        "LoopDetector": {"enabled": False},
+        "LoopDetector": {"enabled": loop_on, "min_continuity": 2},
     })
     cam = cfg.camera
     rng = np.random.default_rng(7)
@@ -54,10 +55,12 @@ def main():
         kf_mark = "KF" if db.n_kfs > n_kfs_before else "  "
         cache = tr._lm_cache
         lm_local = cache["n"] if cache else 0
+        loops = 0 if sys_.global_optimizer is None else \
+            sys_.global_optimizer.num_loops_closed
         print(f"f{i:3d} {kf_mark} tracked={pose is not None!s:5} "
               f"inl={tr.num_tracked:4d} state={tr.state.name:15s} "
               f"localmap={lm_local:4d} kfs={db.n_kfs:3d} "
-              f"lms={len(db.valid_lm_ids()):5d}")
+              f"lms={len(db.valid_lm_ids()):5d} loops={loops}")
     sys_.shutdown()
     tracked = np.array(tracked)
     print(f"\ntracked {tracked.sum()}/{n_frames}")
