@@ -29,6 +29,9 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--map-db-out", default=None)
     p.add_argument("--traj-out", default="frame_trajectory.txt")
     p.add_argument("--traj-format", default="TUM", choices=["TUM", "KITTI"])
+    p.add_argument("--viewer", action="store_true",
+                   help="serve the live web viewer (ref socket_publisher)")
+    p.add_argument("--viewer-port", type=int, default=7007)
     return p
 
 
@@ -49,10 +52,16 @@ def build_system(args):
         system.load_map_database(args.map_db_in)
         system.disable_mapping_module()
     system.startup()
+    if getattr(args, "viewer", False):
+        from openvslam_tpu.publish import SocketViewer
+        system._viewer = SocketViewer(system, port=args.viewer_port).start()
+        print(f"live viewer at {system._viewer.url}")
     return cfg, system
 
 
 def finish(args, system, track_times):
+    if getattr(system, "_viewer", None) is not None:
+        system._viewer.stop()
     system.shutdown()
     system.save_frame_trajectory(args.traj_out, args.traj_format)
     if args.eval_log:

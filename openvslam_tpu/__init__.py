@@ -22,3 +22,17 @@ Layer map (mirrors SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# TPU matmul precision: XLA lowers f32 x f32 dots to ONE bf16 MXU pass by
+# default, which destroys the epipolar/RANSAC geometry (observed on-device:
+# two-view initialization never succeeds).  Pin f32 dots to full precision;
+# kernels that WANT bf16 (descriptor one-hot contractions, Hamming popcounts)
+# cast their operands explicitly and are unaffected by this default.
+import os as _os
+
+import jax as _jax
+
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("OPENVSLAM_TPU_MATMUL_PRECISION", "highest"),
+)

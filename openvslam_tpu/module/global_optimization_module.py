@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from ..data.bow import BowDatabase, Vocabulary, default_vocabulary
 from ..ops import sim3 as sim3_ops
+from ..optimize import residuals as R2
 from ..optimize.ba import BAProblem, make_global_ba
 from ..optimize.pose_graph import PoseGraphProblem, make_pose_graph_optimizer
 from .loop_detector import LoopDetector
@@ -303,9 +304,24 @@ class GlobalOptimizationModule:
         for l, i in lm_index.items():
             X[i] = db.lm_pos[l]
             lm_valid[i] = True
+        # multi-camera map (merged sessions): per-observation intrinsics ride
+        # in the observation columns 2.. (optimize.residuals multicam edge)
+        kf_cam_names = {db.kf_camera[int(k)] for k in kf_ids}
+        multicam = len(kf_cam_names - {None}) > 1
+        D = 2 + R2.CAMV_DIM if multicam else 2
+        camv_by_kf = {}
+        if multicam:
+            for k in kf_ids:
+                k = int(k)
+                name = db.kf_camera[k]
+                if name is not None and name in db.cameras:
+                    camv_by_kf[k] = R2.make_camv(db.cameras[name])
+                else:       # legacy KF without a camera: the session camera
+                    from ..camera.base import camera_to_config
+                    camv_by_kf[k] = R2.make_camv(camera_to_config(self.cam))
         oc = np.zeros(O, np.int32)
         ol = np.zeros(O, np.int32)
-        ouv = np.zeros((O, 2), np.float32)
+        ouv = np.zeros((O, D), np.float32)
         osg = np.ones(O, np.float32)
         om = np.zeros(O, bool)
         n_obs = 0
@@ -316,15 +332,19 @@ class GlobalOptimizationModule:
                     continue
                 oc[n_obs] = ci
                 ol[n_obs] = li
-                ouv[n_obs] = db.kf_xy_undist[k][kpt]
+                ouv[n_obs, :2] = db.kf_xy_undist[k][kpt]
+                if multicam:
+                    ouv[n_obs, 2:] = camv_by_kf[k]
                 osg[n_obs] = self.sigma2[db.kf_level[k][kpt]]
                 om[n_obs] = True
                 n_obs += 1
 
-        key = (C, L, O)
+        key = (C, L, O, multicam)
         if key not in self._global_ba_cache:
             self._global_ba_cache[key] = make_global_ba(
-                self.cam, iters=iters, cg_iters=30
+                self.cam, iters=iters, cg_iters=30,
+                res_fn_override=(
+                    R2.make_multicam_mono_residual() if multicam else None),
             )
         ba = self._global_ba_cache[key]
         prob = BAProblem(

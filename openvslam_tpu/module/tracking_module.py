@@ -221,7 +221,7 @@ class TrackingModule:
                 nmatch += 1
         return nmatch
 
-    def _refresh_local_map_cache(self, frame: Frame):
+    def _refresh_local_map_cache(self, seed_lms: np.ndarray):
         """Device-resident local-map mirror, rebuilt only when the map
         changed (db.version) or the reference KF moved — between keyframes
         the same arrays are reused, so per-frame host->device traffic is
@@ -230,8 +230,7 @@ class TrackingModule:
         key = (db.version, self.ref_kf)
         if self._lm_cache is not None and self._lm_cache["key"] == key:
             return self._lm_cache
-        seed = frame.lm_idx[frame.lm_idx >= 0]
-        local_kfs, local_lms = db.acquire_local_map(seed, max_kfs=60)
+        local_kfs, local_lms = db.acquire_local_map(seed_lms, max_kfs=60)
         L = self.LOCAL_LM_CAP
         n = min(len(local_lms), L)
         cand = np.asarray(local_lms[:n], np.int64)
@@ -253,7 +252,7 @@ class TrackingModule:
 
     def _track_local_map(self, frame: Frame, T_cur):
         db = self.map_db
-        cache = self._refresh_local_map_cache(frame)
+        cache = self._refresh_local_map_cache(frame.lm_idx[frame.lm_idx >= 0])
         n = cache["n"]
         if n == 0:
             return T_cur, self.num_tracked
@@ -337,6 +336,103 @@ class TrackingModule:
         if self._new_keyframe_needed(frame):
             self._insert_keyframe(frame)
         return frame.pose_cw
+
+    # ------------------------------------------------------------------
+    # fused tracking path (models.track_step): one device call per frame
+    # ------------------------------------------------------------------
+    def track_fused(self, image_u8, frame_id: int, timestamp: float,
+                    step, mask=None) -> Optional[np.ndarray]:
+        """Drive one frame through the fused TrackStep.  Preconditions:
+        state == TRACKING with a last frame (the caller falls back to the
+        classic path otherwise).  Returns (pose or None, Frame)."""
+        import jax.numpy as jnp
+        db = self.map_db
+        self._update_last_frame_landmarks()
+        lf = self.last_frame
+        has = (lf.lm_idx >= 0) & lf.valid & ~lf.outlier
+        ids = np.where(has)[0]
+        lm_ids = lf.lm_idx[ids]
+        keep = db.lm_valid[lm_ids]
+        ids, lm_ids = ids[keep], lm_ids[keep]
+        P = step.prev_capacity
+        n = min(len(lm_ids), P)
+        ids, lm_ids = ids[:n], lm_ids[:n]
+        prev_pos = np.zeros((P, 3), np.float32)
+        prev_desc = np.zeros((P, 256), np.int8)
+        prev_valid = np.zeros(P, bool)
+        prev_level = np.full(P, -1, np.int32)
+        prev_pos[:n] = db.lm_pos[lm_ids]
+        prev_desc[:n] = db.lm_desc_i8[lm_ids]
+        prev_valid[:n] = True
+        prev_level[:n] = lf.level[ids]
+
+        cache = self._refresh_local_map_cache(lm_ids)
+        cand = cache["cand"]
+        # map local slots to last-frame slots for exact stage-2 dedup
+        loc_prev_slot = np.full(step.lm_capacity, -1, np.int32)
+        if n and len(cand):
+            order = np.argsort(lm_ids, kind="stable")
+            sorted_ids = lm_ids[order]
+            pos = np.searchsorted(sorted_ids, cand)
+            posc = np.clip(pos, 0, len(sorted_ids) - 1)
+            hit = sorted_ids[posc] == cand
+            loc_prev_slot[:len(cand)] = np.where(hit, order[posc], -1)
+
+        T_pred = (self.velocity @ lf.pose_cw).astype(np.float32)
+        res = step.step(
+            jnp.asarray(image_u8), mask, jnp.asarray(T_pred),
+            jnp.asarray(prev_pos), jnp.asarray(prev_desc),
+            jnp.asarray(prev_valid), jnp.asarray(prev_level),
+            cache["pos"], cache["desc"], cache["valid"], cache["maxd"],
+            jnp.asarray(loc_prev_slot),
+        )
+        res = jax.device_get(res)   # one transfer for the whole SoA
+        frame = Frame(
+            frame_id=frame_id, timestamp=timestamp,
+            xy=res.kp_xy, xy_undist=res.kp_und, bearing=res.kp_bearing,
+            level=res.kp_level, angle=res.kp_angle, response=res.kp_response,
+            desc_u32=res.kp_desc_u32, desc_i8=res.kp_desc_i8,
+            valid=res.kp_valid,
+            x_right=np.full(res.kp_xy.shape[0], -1.0, np.float32),
+            depth=np.full(res.kp_xy.shape[0], -1.0, np.float32),
+            lm_idx=np.full(res.kp_xy.shape[0], -1, np.int32),
+            outlier=np.zeros(res.kp_xy.shape[0], bool),
+        )
+        n1 = int(res.n_stage1)
+        n2 = int(res.num_inliers)
+        thr = 20 if self.frames_since_reloc > 30 else 50
+        if n1 < 10 or n2 < thr:
+            # rare path: replay the classic ladder on the extracted frame
+            pose = self._track_frame(frame)
+            self.last_frame = frame
+            return pose, frame
+
+        # landmark bookkeeping (host): slots -> real landmark ids
+        src = res.kp_src
+        n_loc = cache["n"]
+        assigned = np.where(src >= 0)[0]
+        for k in assigned:
+            s = int(src[k])
+            lm = int(lm_ids[s]) if s < P else (
+                int(cand[s - P]) if s - P < n_loc else -1)
+            if lm >= 0 and db.lm_valid[lm]:
+                frame.lm_idx[k] = lm
+        frame.outlier = (frame.lm_idx >= 0) & ~res.kp_inlier
+        vis_np = res.loc_visible[:n_loc]
+        db.lm_n_visible[cand[:n_loc][vis_np]] += 1
+        inl_lms = frame.lm_idx[(frame.lm_idx >= 0) & ~frame.outlier]
+        db.lm_n_found[inl_lms] += 1
+
+        frame.pose_cw = res.T_cw.astype(np.float32)
+        self.num_tracked = n2
+        self._peak_tracked = max(self._peak_tracked, n2)
+        self.velocity = (
+            frame.pose_cw @ np.linalg.inv(lf.pose_cw)).astype(np.float32)
+        self.frames_since_reloc += 1
+        if self._new_keyframe_needed(frame):
+            self._insert_keyframe(frame)
+        self.last_frame = frame
+        return frame.pose_cw, frame
 
     def _bow_match_ref_kf(self, frame: Frame):
         """Word-gated descriptor match vs the reference keyframe's landmarks

@@ -77,9 +77,11 @@ def _fast_band_kernel(img_hbm, hi_ref, lo_ref, band_ref, sem,
 @functools.partial(jax.jit, static_argnames=("thr_hi", "thr_lo", "interpret"))
 def fast_score_maps_pallas(img: jnp.ndarray, thr_hi: float, thr_lo: float,
                            interpret: bool = False):
-    """(H, W) f32 -> (hi, lo) score maps; H must be a multiple of TILE_H."""
-    h, w = img.shape
-    assert h % TILE_H == 0, h
+    """(H, W) f32 -> (hi, lo) score maps (any H; rows padded to TILE_H)."""
+    h0, w = img.shape
+    h = ((h0 + TILE_H - 1) // TILE_H) * TILE_H
+    if h != h0:
+        img = jnp.pad(img, ((0, h - h0), (0, 0)))
     padded = jnp.pad(img, ((HALO, HALO), (0, 0)))
     kernel = functools.partial(
         _fast_band_kernel, thr_hi=thr_hi, thr_lo=thr_lo,
@@ -103,9 +105,11 @@ def fast_score_maps_pallas(img: jnp.ndarray, thr_hi: float, thr_lo: float,
         ],
         interpret=interpret,
     )(padded)
-    # zero the vertical borders (horizontal handled in-kernel)
-    row = jnp.arange(h)[:, None]
-    edge = (row >= HALO) & (row < h - HALO)
+    # crop row padding; zero the vertical borders (horizontal in-kernel)
+    hi = hi[:h0]
+    lo = lo[:h0]
+    row = jnp.arange(h0)[:, None]
+    edge = (row >= HALO) & (row < h0 - HALO)
     return jnp.where(edge, hi, 0.0), jnp.where(edge, lo, 0.0)
 
 

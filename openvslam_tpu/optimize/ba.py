@@ -195,15 +195,24 @@ def make_local_ba(cam, stereo: bool = False, first_iters: int = 5,
 # Global BA: matrix-free Schur + PCG
 # ---------------------------------------------------------------------------
 
-def make_global_ba(cam, stereo: bool = False, iters: int = 10, cg_iters: int = 40):
+def make_global_ba(cam, stereo: bool = False, iters: int = 10, cg_iters: int = 40,
+                   res_fn_override=None):
     """Matrix-free LM for full-map BA (unbounded camera count).
 
     Same problem struct as local BA; S is never materialized — each PCG step
     applies S x = Hcc x - W (Hll^-1 (Wᵀ x)) with segment-sums over obs.
     Gauge: pass cam_opt=False for the origin keyframe.
+
+    res_fn_override: alternative residual(T, X, obs_vec) (e.g. the
+    multi-camera residual, where per-obs intrinsics ride in obs_uv columns
+    2..; the residual itself stays 2-D so chi2/weights are unchanged).
     """
-    res_fn = R.make_stereo_residual(cam) if stereo else R.make_mono_residual(cam)
-    chi2_thr = R.CHI2_3D if stereo else R.CHI2_2D
+    if res_fn_override is not None:
+        res_fn = res_fn_override
+        chi2_thr = R.CHI2_2D
+    else:
+        res_fn = R.make_stereo_residual(cam) if stereo else R.make_mono_residual(cam)
+        chi2_thr = R.CHI2_3D if stereo else R.CHI2_2D
 
     @jax.jit
     def optimize(p: BAProblem) -> BAResult:

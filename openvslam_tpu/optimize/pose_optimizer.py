@@ -25,12 +25,15 @@ class PoseOptResult(NamedTuple):
 
 
 def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
-                        iters_per_round: int = 10):
+                        iters_per_round: int = 10, jit: bool = True):
     """Build a jitted pose optimizer for one camera model.
 
     Returned fn(T_init (4,4), X_w (N,3), obs (N,2|3), sigma2 (N,), mask (N,))
     -> PoseOptResult.  `obs` is uv for mono, (u,v,u_right) for stereo
     (u_right < 0 marks a mono observation inside a stereo frame).
+
+    jit=False returns the raw traced function for composition inside a
+    larger jitted program (models.track_step).
     """
     res_fn = R.make_stereo_residual(cam) if stereo else R.make_mono_residual(cam)
     chi2_thr = R.CHI2_3D if stereo else R.CHI2_2D
@@ -48,7 +51,6 @@ def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
         )
         return J  # (N, d, 6)
 
-    @jax.jit
     def optimize(T_init, X_w, obs, sigma2, mask):
         inv_s2 = 1.0 / jnp.maximum(sigma2, 1e-12)
 
@@ -102,4 +104,4 @@ def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
         inl = mask & ok & (c2 < chi2_thr)
         return PoseOptResult(T_fin, inl, jnp.sum(inl.astype(jnp.int32)), c2)
 
-    return optimize
+    return jax.jit(optimize) if jit else optimize

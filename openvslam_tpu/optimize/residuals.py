@@ -65,6 +65,59 @@ def make_stereo_residual(cam) -> Callable:
     return residual
 
 
+CAMV_DIM = 8   # per-observation camera vector: fx fy cx cy cols rows is_eq pad
+
+
+def make_camv(spec: dict):
+    """Serializable camera spec (camera.base.camera_to_config) -> (8,) f32
+    vector for the multi-camera residual."""
+    import numpy as np
+    is_eq = 1.0 if spec.get("model") == "equirectangular" else 0.0
+    return np.array([
+        spec.get("fx", 0.0), spec.get("fy", 0.0),
+        spec.get("cx", 0.0), spec.get("cy", 0.0),
+        spec["cols"], spec["rows"], is_eq, 0.0,
+    ], np.float32)
+
+
+def make_multicam_mono_residual() -> Callable:
+    """Residual with PER-OBSERVATION camera intrinsics, for bundle adjusting
+    maps whose keyframes come from different cameras (ref: g2o edges carry
+    their keyframe's camera; here the camera rides in the observation vector
+    so one vmapped edge batch covers all models).
+
+    obs layout (2+CAMV_DIM,): [u, v, fx, fy, cx, cy, cols, rows, is_eq, pad].
+    Perspective/fisheye keyframes observe UNDISTORTED pixels -> pinhole
+    projection; equirectangular ones use the lon/lat mapping with seam wrap.
+    """
+
+    def residual(T_cw, X_w, obs):
+        uv_obs = obs[:2]
+        fx, fy, cx, cy, cols, rows, is_eq = obs[2:9]
+        x = se3.transform(T_cw, X_w)
+        # pinhole branch
+        z_safe = jnp.where(x[2] > _EPS, x[2], 1.0)
+        uv_pin = jnp.stack([fx * x[0] / z_safe + cx, fy * x[1] / z_safe + cy])
+        ok_pin = x[2] > _EPS
+        # equirect branch
+        depth = jnp.linalg.norm(x)
+        b = x / jnp.maximum(depth, _EPS)
+        lat = -jnp.arcsin(jnp.clip(b[1], -1.0, 1.0))
+        lon = jnp.arctan2(b[0], b[2])
+        uv_eq = jnp.stack([cols * (0.5 + lon / (2.0 * jnp.pi)),
+                           rows * (0.5 - lat / jnp.pi)])
+        ok_eq = depth > _EPS
+        eq = is_eq > 0.5
+        uv = jnp.where(eq, uv_eq, uv_pin)
+        ok = jnp.where(eq, ok_eq, ok_pin)
+        r = uv_obs - uv
+        half = cols * 0.5
+        r = r.at[0].set(jnp.where(eq, jnp.mod(r[0] + half, cols) - half, r[0]))
+        return jnp.where(ok, r, 0.0), ok
+
+    return residual
+
+
 def huber_weight(chi2: jnp.ndarray, delta2: float) -> jnp.ndarray:
     """IRLS weight of the Huber kernel at squared error chi2 (threshold^2=delta2)."""
     return jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, _EPS)))

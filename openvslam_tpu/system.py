@@ -96,7 +96,20 @@ class System:
                 m[int(y0 * self.cam.rows):int(y1 * self.cam.rows),
                   int(x0 * self.cam.cols):int(x1 * self.cam.cols)] = 0.0
             self._static_mask = m
+        # fused per-frame tracking program (one device call on the common
+        # path; OPENVSLAM_TPU_FUSED=0 forces the unfused module calls)
+        import os
+        from .camera.base import SetupType
+        self._track_step = None
+        if (os.environ.get("OPENVSLAM_TPU_FUSED", "1") != "0"
+                and self.cam.setup == SetupType.MONOCULAR):
+            from .models.track_step import TrackStep
+            self._track_step = TrackStep(
+                self.cam, self.frontend,
+                lm_capacity=TrackingModule.LOCAL_LM_CAP,
+            )
         self.frame_id = 0
+        self._fused_frames = 0
         self.trajectory: List[tuple] = []   # (timestamp, pose_cw or None)
         self.track_times: List[float] = []  # per-frame wall time (ref track_times)
         self.mapping_enabled = True
@@ -175,14 +188,28 @@ class System:
         Returns pose_cw (4,4) or None."""
         img = self._to_gray(image)
         mask = mask if mask is not None else self._static_mask
-        kp = self.frontend.extract(jnp.asarray(img),
-                                   None if mask is None else jnp.asarray(mask, jnp.float32))
-        frame = Frame.from_keypoints(self.frame_id, timestamp, kp, self.cam)
-        self.frame_id += 1
+        mask_j = None if mask is None else jnp.asarray(mask, jnp.float32)
         import time as _time
+        tr = self.tracker
+        use_fused = (
+            self._track_step is not None
+            and tr.state == TrackerState.TRACKING
+            and tr.last_frame is not None
+            and tr.last_frame.pose_cw is not None
+        )
         _t0 = _time.perf_counter()
-        with self.map_lock:
-            pose = self.tracker.track(frame)
+        if use_fused:
+            with self.map_lock:
+                pose, frame = tr.track_fused(
+                    img, self.frame_id, timestamp, self._track_step, mask_j)
+            self.frame_id += 1
+            self._fused_frames += 1
+        else:
+            kp = self.frontend.extract(jnp.asarray(img), mask_j)
+            frame = Frame.from_keypoints(self.frame_id, timestamp, kp, self.cam)
+            self.frame_id += 1
+            with self.map_lock:
+                pose = tr.track(frame)
         self.track_times.append(_time.perf_counter() - _t0)
         self._publish(frame, pose, image=img)
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
@@ -300,6 +327,7 @@ class System:
             ),
             "median_track_ms": float(np.median(tt) * 1000),
             "fps": float(1.0 / max(np.median(tt), 1e-9)),
+            "fused_frames": self._fused_frames,
         }
 
     def tracked_poses(self):
