@@ -32,6 +32,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--viewer", action="store_true",
                    help="serve the live web viewer (ref socket_publisher)")
     p.add_argument("--viewer-port", type=int, default=7007)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace (TensorBoard) to DIR")
+    p.add_argument("--auto-save", default=None, metavar="PATH",
+                   help="periodic async map snapshots to PATH")
     return p
 
 
@@ -56,10 +60,19 @@ def build_system(args):
         from openvslam_tpu.publish import SocketViewer
         system._viewer = SocketViewer(system, port=args.viewer_port).start()
         print(f"live viewer at {system._viewer.url}")
+    if getattr(args, "auto_save", None):
+        system.enable_autosave(args.auto_save)
+    if getattr(args, "profile", None):
+        import jax
+        jax.profiler.start_trace(args.profile)
+        system._profiling = True
     return cfg, system
 
 
 def finish(args, system, track_times):
+    if getattr(system, "_profiling", False):
+        import jax
+        jax.profiler.stop_trace()
     if getattr(system, "_viewer", None) is not None:
         system._viewer.stop()
     system.shutdown()

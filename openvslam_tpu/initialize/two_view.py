@@ -33,6 +33,9 @@ class InitResult(NamedTuple):
     idx1: np.ndarray          # (N,) keypoint indices in frame 1
     idx2: np.ndarray          # (N,) keypoint indices in frame 2
     used_homography: bool
+    # descriptor matches between the views (failure diagnosis: the tracker
+    # keeps its reference frame while overlap remains, ref mono initializer)
+    num_matches: int = 0
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
@@ -114,7 +117,8 @@ def initialize_two_view(key, frame1, frame2, cam, min_matches=50,
     m1 = np.where(idx >= 0)[0]
     if len(m1) < min_matches:
         return InitResult(False, np.eye(4), np.zeros((0, 3)), np.zeros(0, bool),
-                          np.zeros(0, np.int64), np.zeros(0, np.int64), False)
+                          np.zeros(0, np.int64), np.zeros(0, np.int64), False,
+                          len(m1))
     m2 = idx[m1]
 
     # pad matched pairs to fixed capacity for the jitted solvers
@@ -175,11 +179,12 @@ def initialize_two_view(key, frame1, frame2, cam, min_matches=50,
         n_second > 0.93 * n_best and len(order) > 1
     ):
         return InitResult(False, np.eye(4), np.zeros((0, 3)), np.zeros(0, bool),
-                          np.zeros(0, np.int64), np.zeros(0, np.int64), use_h)
+                          np.zeros(0, np.int64), np.zeros(0, np.int64), use_h,
+                          len(m1))
 
     T21 = np.eye(4, dtype=np.float32)
     T21[:3, :3] = np.asarray(Rs[best])
     T21[:3, 3] = np.asarray(ts[best])
     X = np.asarray(Xs[best])[:n]
     good = np.asarray(goods[best])[:n]
-    return InitResult(True, T21, X, good, m1, m2, use_h)
+    return InitResult(True, T21, X, good, m1, m2, use_h, len(m1))

@@ -83,8 +83,13 @@ class TrackingModule:
         self.key, k = jax.random.split(self.key)
         res = initialize_two_view(k, self.init_frame, frame, self.cam)
         if not res.success:
-            # keep the newer frame as the init candidate (ref resets too)
-            if frame.num_valid >= 100:
+            # Keep the reference frame while the views still overlap so the
+            # baseline ACCUMULATES across attempts (ref mono initializer:
+            # the reference is reset only when matches drop below 100 —
+            # resetting on every geometric failure pins the pair to
+            # consecutive frames and the parallax gate never passes on
+            # slow sequences).
+            if res.num_matches < 100 and frame.num_valid >= 100:
                 self.init_frame = frame
             return None
         # normalize scale: median depth of inliers -> 1 (mono convention)

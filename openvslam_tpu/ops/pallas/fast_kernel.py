@@ -2,14 +2,15 @@
 
 The XLA formulation (ops/fast.py) materializes a (H, W, 16) ring tensor in
 HBM per threshold; this kernel keeps the whole test in VMEM per row band:
-each grid program DMAs one (TILE+2*HALO, W) band from HBM once and computes
+each grid program DMAs one (TILE+2*PAD, W) band from HBM once and computes
 BOTH threshold score maps in registers — one HBM read of the image instead
 of ~20 (ring stack + windowed cumsums), and no (H,W,16) intermediate.
 
 The contiguous-arc test is unrolled: 16 start positions x 9-long windowed
-sums on the VPU.  Until the axon TPU backend is stable enough to validate
-compiled pallas (see PROGRESS), usage is gated by use_pallas_fast(); CPU
-interpret-mode tests pin the semantics against the XLA implementation.
+sums on the VPU.  Mosaic alignment rules (validated on the axon v5e
+backend): DMA slices must be 8-row aligned, so bands carry PAD=8 halo rows
+(>= the 3-px FAST ring radius) and images are padded to (TILE_H | 8)-row /
+128-col multiples before the call.
 """
 from __future__ import annotations
 
@@ -26,28 +27,29 @@ from .. import fast as fast_ref
 _CIRCLE = fast_ref._CIRCLE
 _ARC = fast_ref._ARC
 TILE_H = 64
-HALO = 3
+HALO = 3        # FAST ring radius (rows/cols of true halo needed)
+PAD = 8         # band halo actually carried: 8-row aligned for Mosaic DMA
 
 
 def _fast_band_kernel(img_hbm, hi_ref, lo_ref, band_ref, sem,
-                      *, thr_hi, thr_lo, tile_h, width):
+                      *, thr_hi, thr_lo, tile_h, width, true_w):
     i = pl.program_id(0)
     copy = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * tile_h, tile_h + 2 * HALO), :],
+        img_hbm.at[pl.ds(i * tile_h, tile_h + 2 * PAD), :],
         band_ref, sem,
     )
     copy.start()
     copy.wait()
     band = band_ref[:]
 
-    nrows = tile_h + 2 * HALO
+    nrows = tile_h + 2 * PAD
 
     def shifted(dy, dx):
         # pltpu.roll needs non-negative shifts; normalize modulo the axis
         rolled = pltpu.roll(pltpu.roll(band, (-dy) % nrows, 0), (-dx) % width, 1)
-        return rolled[HALO:HALO + tile_h, :]
+        return rolled[PAD:PAD + tile_h, :]
 
-    center = band[HALO:HALO + tile_h, :]
+    center = band[PAD:PAD + tile_h, :]
     diffs = [shifted(dy, dx) - center for dy, dx in _CIRCLE]
 
     def score(thr):
@@ -69,7 +71,7 @@ def _fast_band_kernel(img_hbm, hi_ref, lo_ref, band_ref, sem,
         return jnp.maximum(arc(bright), arc(dark))
 
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 1)
-    inside = (col >= HALO) & (col < width - HALO)
+    inside = (col >= HALO) & (col < true_w - HALO)
     hi_ref[:] = jnp.where(inside, score(jnp.float32(thr_hi)), 0.0)
     lo_ref[:] = jnp.where(inside, score(jnp.float32(thr_lo)), 0.0)
 
@@ -77,15 +79,14 @@ def _fast_band_kernel(img_hbm, hi_ref, lo_ref, band_ref, sem,
 @functools.partial(jax.jit, static_argnames=("thr_hi", "thr_lo", "interpret"))
 def fast_score_maps_pallas(img: jnp.ndarray, thr_hi: float, thr_lo: float,
                            interpret: bool = False):
-    """(H, W) f32 -> (hi, lo) score maps (any H; rows padded to TILE_H)."""
-    h0, w = img.shape
+    """(H, W) f32 -> (hi, lo) score maps (any H/W; padded internally)."""
+    h0, w0 = img.shape
     h = ((h0 + TILE_H - 1) // TILE_H) * TILE_H
-    if h != h0:
-        img = jnp.pad(img, ((0, h - h0), (0, 0)))
-    padded = jnp.pad(img, ((HALO, HALO), (0, 0)))
+    w = ((w0 + 127) // 128) * 128
+    padded = jnp.pad(img, ((PAD, PAD + h - h0), (0, w - w0)))
     kernel = functools.partial(
         _fast_band_kernel, thr_hi=thr_hi, thr_lo=thr_lo,
-        tile_h=TILE_H, width=w,
+        tile_h=TILE_H, width=w, true_w=w0,
     )
     hi, lo = pl.pallas_call(
         kernel,
@@ -100,14 +101,14 @@ def fast_score_maps_pallas(img: jnp.ndarray, thr_hi: float, thr_lo: float,
             jax.ShapeDtypeStruct((h, w), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE_H + 2 * HALO, w), jnp.float32),
+            pltpu.VMEM((TILE_H + 2 * PAD, w), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(padded)
-    # crop row padding; zero the vertical borders (horizontal in-kernel)
-    hi = hi[:h0]
-    lo = lo[:h0]
+    # crop padding; zero the vertical borders (horizontal in-kernel)
+    hi = hi[:h0, :w0]
+    lo = lo[:h0, :w0]
     row = jnp.arange(h0)[:, None]
     edge = (row >= HALO) & (row < h0 - HALO)
     return jnp.where(edge, hi, 0.0), jnp.where(edge, lo, 0.0)

@@ -54,6 +54,14 @@ _PAGE = """<!DOCTYPE html>
 </style></head>
 <body>
 <div id="hud">connecting…</div>
+<div id="panel" style="position:fixed;top:28px;left:10px;z-index:2">
+ <button onclick="ctl('pause')">pause</button>
+ <button onclick="ctl('resume')">resume</button>
+ <button onclick="ctl('toggle_mapping')">mapping</button>
+ <button onclick="ctl('toggle_loop')">loop</button>
+ <button onclick="ctl('reset')">reset</button>
+ <button onclick="ctl('terminate')">terminate</button>
+</div>
 <img id="frame" alt="">
 <canvas id="c"></canvas>
 <script>
@@ -115,6 +123,7 @@ window.onmousemove=e=>{
 };
 window.onwheel=e=>{ dist*=Math.exp(e.deltaY*0.001); draw(); };
 window.onresize=draw;
+async function ctl(cmd) { await fetch('control?cmd=' + cmd); }
 async function tick() {
   try {
     const r = await fetch('state.json'); DATA = await r.json();
@@ -148,6 +157,12 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(404, "text/plain", b"no frame yet")
             else:
                 self._send(200, "image/png", png)
+        elif path == "/control":
+            from urllib.parse import parse_qs, urlparse
+            q = parse_qs(urlparse(self.path).query)
+            cmd = (q.get("cmd") or [""])[0]
+            out = self.viewer.control(cmd)
+            self._send(200, "application/json", json.dumps(out).encode())
         else:
             self._send(404, "text/plain", b"not found")
 
@@ -238,6 +253,38 @@ class SocketViewer:
             "covis_edges": edges,
             "cur": cur,
             "stats": stats,
+        }
+
+    def control(self, cmd: str) -> dict:
+        """UI control plane (the reference viewer's panel: pause/resume,
+        reset, toggle mapping/loop, terminate request)."""
+        s = self.system
+        ok = True
+        if cmd == "pause":
+            s.pause_other_threads()
+        elif cmd == "resume":
+            s.resume_other_threads()
+        elif cmd == "reset":
+            s.request_reset()
+        elif cmd == "toggle_mapping":
+            if s.mapping_enabled:
+                s.disable_mapping_module()
+            else:
+                s.enable_mapping_module()
+        elif cmd == "toggle_loop":
+            if s.loop_detector_is_enabled():
+                s.disable_loop_detector()
+            else:
+                s.enable_loop_detector()
+        elif cmd == "terminate":
+            self.terminate_requested = True
+        else:
+            ok = False
+        return {
+            "ok": ok,
+            "mapping": s.mapping_enabled,
+            "loop": s.loop_detector_is_enabled(),
+            "terminate": getattr(self, "terminate_requested", False),
         }
 
     def frame_png(self) -> Optional[bytes]:

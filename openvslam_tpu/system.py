@@ -110,6 +110,7 @@ class System:
             )
         self.frame_id = 0
         self._fused_frames = 0
+        self._autosave = None
         self.trajectory: List[tuple] = []   # (timestamp, pose_cw or None)
         self.track_times: List[float] = []  # per-frame wall time (ref track_times)
         self.mapping_enabled = True
@@ -151,6 +152,19 @@ class System:
         """Abort a pending global BA (ref system::abort_loop_BA)."""
         if self.global_optimizer is not None:
             self.global_optimizer.abort_global_ba = True
+
+    def enable_loop_detector(self):
+        """(ref system::enable_loop_detector)"""
+        if self.global_optimizer is not None:
+            self.global_optimizer.loop_enabled = True
+
+    def disable_loop_detector(self):
+        if self.global_optimizer is not None:
+            self.global_optimizer.loop_enabled = False
+
+    def loop_detector_is_enabled(self) -> bool:
+        return (self.global_optimizer is not None
+                and self.global_optimizer.loop_enabled)
 
     def loop_BA_is_running(self) -> bool:
         if self.global_optimizer is None:
@@ -276,8 +290,44 @@ class System:
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
         return pose
 
+    def enable_autosave(self, path: str, every_n_keyframes: int = 25):
+        """Periodic async map snapshots (SURVEY.md §5.4 elastic recovery):
+        every N new keyframes the map is serialized to `path` from a
+        background thread (atomic rename), so a crashed session resumes via
+        load_map_database + localization/relocalization."""
+        self._autosave = (path, max(1, int(every_n_keyframes)))
+        self._autosave_kfs = 0
+        self._autosave_thread = None
+
+    def disable_autosave(self):
+        self._autosave = None
+
+    def _maybe_autosave(self):
+        if self._autosave is None:
+            return
+        path, every = self._autosave
+        if self.map_db.n_kfs - self._autosave_kfs < every:
+            return
+        t = getattr(self, "_autosave_thread", None)
+        if t is not None and t.is_alive():
+            return          # previous snapshot still writing; skip this tick
+        self._autosave_kfs = self.map_db.n_kfs
+
+        def _write():
+            from .io.map_database_io import save_map
+            tmp = path + ".tmp"
+            with self.map_lock:
+                save_map(self.map_db, self.cfg, tmp)
+            import os
+            os.replace(tmp, path)
+
+        self._autosave_thread = threading.Thread(
+            target=_write, daemon=True, name="map-autosave")
+        self._autosave_thread.start()
+
     def _publish(self, frame, pose, image=None):
         self.frame_publisher.publish(frame, self.tracker.state.name, image=image)
+        self._maybe_autosave()
         if pose is not None:
             self.map_publisher.set_current_pose(pose)
 

@@ -68,6 +68,55 @@ def test_live_viewer_serves_session():
         assert status == 200 and ctype == "image/png"
         assert int.from_bytes(body[16:20], "big") == cols
         assert int.from_bytes(body[20:24], "big") == rows
+
+        # control plane (ref viewer UI panel)
+        _, _, body = _get(viewer.url + "control?cmd=toggle_mapping")
+        assert json.loads(body)["mapping"] is False
+        _, _, body = _get(viewer.url + "control?cmd=toggle_mapping")
+        assert json.loads(body)["mapping"] is True
+        _, _, body = _get(viewer.url + "control?cmd=toggle_loop")
+        st = json.loads(body)
+        assert st["ok"]
+        _, _, body = _get(viewer.url + "control?cmd=terminate")
+        assert json.loads(body)["terminate"] is True
+        _, _, body = _get(viewer.url + "control?cmd=bogus")
+        assert json.loads(body)["ok"] is False
     finally:
         viewer.stop()
         sys_.shutdown()
+
+
+def test_autosave_snapshots(tmp_path):
+    rows, cols = 240, 320
+    cfg = Config.from_dict({
+        "Camera": {
+            "name": "t", "setup": "monocular", "model": "perspective",
+            "fx": 260.0, "fy": 260.0, "cx": cols / 2, "cy": rows / 2,
+            "cols": cols, "rows": rows, "fps": 20,
+        },
+        "Feature": {"max_num_keypts": 400, "num_levels": 3, "scale_factor": 1.2},
+        "LoopDetector": {"enabled": False},
+    })
+    cam = cfg.camera
+    rng = np.random.default_rng(4)
+    scene = synthetic.PatchSceneRenderer(
+        rng, n_points=500, center=(0, 0, 6), extent=(5, 4, 2),
+        rows=rows, cols=cols,
+    )
+    poses = synthetic.orbit_trajectory(14, radius=2.0, target=(0, 0, 6),
+                                       arc=np.pi / 5)
+    snap = tmp_path / "auto.msg"
+    s = System(cfg)
+    s.enable_autosave(str(snap), every_n_keyframes=2)
+    s.startup()
+    for i in range(14):
+        s.feed_monocular_frame(scene.render(cam, poses[i]), i / 20.0)
+    t = getattr(s, "_autosave_thread", None)
+    if t is not None:
+        t.join(timeout=60)
+    s.shutdown()
+    assert snap.exists(), "no autosave written"
+    s2 = System(cfg)
+    s2.load_map_database(str(snap))
+    assert s2.map_db.n_kfs >= 2
+    assert len(s2.map_db.valid_lm_ids()) > 50
