@@ -33,6 +33,17 @@ from . import tracking_ops as TO
 from .frontend import OrbFrontend
 
 
+def unpack_bits_host(desc_u32: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """(K,8) u32 -> (K,256) int8 on the HOST (numpy) — downloading 32 B/kpt
+    and unpacking beats shipping the 256 B/kpt unpacked form through the
+    host<->device link (matches ops.orb.unpack_bits_i8 bit order; invalid
+    rows zeroed like the frontend does)."""
+    bits = ((desc_u32[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1)
+    out = bits.reshape(desc_u32.shape[0], -1).astype(np.int8)
+    out[~valid] = 0
+    return out
+
+
 class TrackStepResult(NamedTuple):
     # keypoint SoA (download once, build data.Frame without re-deriving)
     kp_xy: jnp.ndarray          # (K,2)
@@ -41,8 +52,7 @@ class TrackStepResult(NamedTuple):
     kp_level: jnp.ndarray       # (K,)
     kp_angle: jnp.ndarray       # (K,)
     kp_response: jnp.ndarray    # (K,)
-    kp_desc_u32: jnp.ndarray    # (K,8)
-    kp_desc_i8: jnp.ndarray     # (K,256)
+    kp_desc_u32: jnp.ndarray    # (K,8) — desc_i8 is reconstructed on host
     kp_valid: jnp.ndarray       # (K,)
     # association: slot in the combined landmark table per keypoint
     # (-1 none, [0,P) last-frame slot, [P,P+L) local-map slot)
@@ -74,10 +84,14 @@ class TrackStep:
         self.step = jax.jit(self._impl)
 
     def _impl(self, image_u8, mask, T_pred,
-              prev_pos, prev_desc, prev_valid, prev_level,
+              prev_pos, prev_desc_u32, prev_valid, prev_level,
               loc_pos, loc_desc, loc_valid, loc_maxd, loc_prev_slot):
+        from ..ops import orb
         cam = self.cam
         P = self.prev_capacity
+        # last-frame descriptors ride packed (32 B/landmark up the tunnel)
+        prev_desc = jnp.where(
+            prev_valid[:, None], orb.unpack_bits_i8(prev_desc_u32), 0)
         kp = self.frontend._extract_impl(image_u8, mask)
         und = cam.undistort_keypoints(kp.xy)
         brg = cam.keypoints_to_bearings(kp.xy)
@@ -146,8 +160,7 @@ class TrackStep:
         return TrackStepResult(
             kp_xy=kp.xy, kp_und=und, kp_bearing=brg, kp_level=kp.level,
             kp_angle=kp.angle, kp_response=kp.response,
-            kp_desc_u32=kp.desc_u32, kp_desc_i8=kp.desc_i8,
-            kp_valid=kp.valid,
+            kp_desc_u32=kp.desc_u32, kp_valid=kp.valid,
             kp_src=kp_src, kp_inlier=res2.inliers,
             n_stage1=res1.num_inliers,
             T_cw=res2.T_cw, num_inliers=res2.num_inliers,

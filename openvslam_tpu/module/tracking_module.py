@@ -363,11 +363,11 @@ class TrackingModule:
         n = min(len(lm_ids), P)
         ids, lm_ids = ids[:n], lm_ids[:n]
         prev_pos = np.zeros((P, 3), np.float32)
-        prev_desc = np.zeros((P, 256), np.int8)
+        prev_desc = np.zeros((P, 8), np.uint32)
         prev_valid = np.zeros(P, bool)
         prev_level = np.full(P, -1, np.int32)
         prev_pos[:n] = db.lm_pos[lm_ids]
-        prev_desc[:n] = db.lm_desc_i8[lm_ids]
+        prev_desc[:n] = db.lm_desc_u32[lm_ids]
         prev_valid[:n] = True
         prev_level[:n] = lf.level[ids]
 
@@ -392,11 +392,13 @@ class TrackingModule:
             jnp.asarray(loc_prev_slot),
         )
         res = jax.device_get(res)   # one transfer for the whole SoA
+        from ..models.track_step import unpack_bits_host
         frame = Frame(
             frame_id=frame_id, timestamp=timestamp,
             xy=res.kp_xy, xy_undist=res.kp_und, bearing=res.kp_bearing,
             level=res.kp_level, angle=res.kp_angle, response=res.kp_response,
-            desc_u32=res.kp_desc_u32, desc_i8=res.kp_desc_i8,
+            desc_u32=res.kp_desc_u32,
+            desc_i8=unpack_bits_host(res.kp_desc_u32, res.kp_valid),
             valid=res.kp_valid,
             x_right=np.full(res.kp_xy.shape[0], -1.0, np.float32),
             depth=np.full(res.kp_xy.shape[0], -1.0, np.float32),
@@ -412,16 +414,19 @@ class TrackingModule:
             self.last_frame = frame
             return pose, frame
 
-        # landmark bookkeeping (host): slots -> real landmark ids
-        src = res.kp_src
+        # landmark bookkeeping (host, vectorized): slots -> real landmark ids
+        src = res.kp_src.astype(np.int64)
         n_loc = cache["n"]
-        assigned = np.where(src >= 0)[0]
-        for k in assigned:
-            s = int(src[k])
-            lm = int(lm_ids[s]) if s < P else (
-                int(cand[s - P]) if s - P < n_loc else -1)
-            if lm >= 0 and db.lm_valid[lm]:
-                frame.lm_idx[k] = lm
+        prev_tab = np.full(P, -1, np.int64)
+        prev_tab[:n] = lm_ids
+        loc_tab = np.full(step.lm_capacity, -1, np.int64)
+        loc_tab[:n_loc] = cand[:n_loc]
+        comb = np.concatenate([prev_tab, loc_tab])
+        lm_of_kpt = np.where(src >= 0, comb[np.clip(src, 0, len(comb) - 1)], -1)
+        lm_of_kpt = np.where(
+            (lm_of_kpt >= 0) & db.lm_valid[np.clip(lm_of_kpt, 0, None)],
+            lm_of_kpt, -1)
+        frame.lm_idx = lm_of_kpt.astype(np.int32)
         frame.outlier = (frame.lm_idx >= 0) & ~res.kp_inlier
         vis_np = res.loc_visible[:n_loc]
         db.lm_n_visible[cand[:n_loc][vis_np]] += 1

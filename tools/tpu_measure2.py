@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def measure_system_fps():
+def measure_system_fps(async_mapping: bool = False):
     import jax
     from openvslam_tpu.config import Config
     from openvslam_tpu.system import System
@@ -43,8 +43,8 @@ def measure_system_fps():
                                        arc=np.pi / 5)
     print("rendering...", flush=True)
     imgs = [scene.render(cam, poses[i]) for i in range(n)]
-    print("running system...", flush=True)
-    s = System(cfg)
+    print(f"running system (async_mapping={async_mapping})...", flush=True)
+    s = System(cfg, async_mapping=async_mapping)
     s.startup()
     for i in range(n):
         t0 = time.perf_counter()
@@ -56,8 +56,10 @@ def measure_system_fps():
     st = s.stats()
     # drop warmup/compile frames: median over the last 40
     tt = np.array(s.track_times[-40:]) * 1000
-    print(f"[system] median {np.median(tt):.2f} ms/frame "
-          f"({1000 / np.median(tt):.1f} fps) fused={st['fused_frames']}/{n} "
+    tag = "system-async" if async_mapping else "system"
+    print(f"[{tag}] median {np.median(tt):.2f} ms/frame "
+          f"({1000 / np.median(tt):.1f} fps) p90 {np.percentile(tt, 90):.1f} "
+          f"fused={st['fused_frames']}/{n} "
           f"tracked={st['frames_tracked']}/{n}", flush=True)
 
 
@@ -102,6 +104,8 @@ def main():
     which = sys.argv[1:] or ["system", "pallas"]
     if "system" in which:
         measure_system_fps()
+    if "system_async" in which:
+        measure_system_fps(async_mapping=True)
     if "pallas" in which:
         measure_pallas_fast()
 
