@@ -359,51 +359,54 @@ class GlobalOptimizationModule:
         }
 
     def _apply_global_ba(self, res, built):
-        """Write back BA results; keyframes/landmarks created after the
-        snapshot are propagated via their nearest snapshotted spanning-tree
-        ancestor / reference keyframe (ref run_loop_BA born-during pass)."""
-        db = self.db
-        cam_index = built["cam_index"]
-        lm_index = built["lm_index"]
-        cam_opt = built["cam_opt"]
-        T_new = np.asarray(res.T_cw)
-        X_new = np.asarray(res.X)
+        apply_ba_writeback(
+            self.db, built["cam_index"], built["lm_index"], built["cam_opt"],
+            np.asarray(res.T_cw), np.asarray(res.X),
+        )
 
-        # pre-correction poses of every currently-valid KF (snapshot members
-        # use their snapshot pose: the map may have moved them since)
-        T_pre = {int(k): db.kf_pose_cw[int(k)].copy() for k in db.valid_kf_ids()}
-        new_pose = {}
-        for k, i in cam_index.items():
-            if db.kf_valid[k]:
-                new_pose[k] = T_new[i] if cam_opt[i] else db.kf_pose_cw[k]
-        # born-during keyframes: T_child_new = T_child_old @ inv(T_anc_old) @ T_anc_new
-        for k in db.valid_kf_ids():
-            k = int(k)
-            if k in cam_index:
-                continue
-            anc = k
-            hops = 0
-            while anc not in cam_index and anc >= 0 and hops < 256:
-                anc = int(db.parent[anc])
-                hops += 1
-            if anc not in cam_index:
-                continue
-            rel = T_pre[k] @ np.linalg.inv(T_pre[anc])
-            new_pose[k] = (rel @ new_pose.get(anc, T_pre[anc])).astype(
-                np.float32)
-        # landmarks: snapshot members take BA output; born-during ones move
-        # with their reference keyframe's old->new correction
-        for lm in db.valid_lm_ids():
-            lm = int(lm)
-            if lm in lm_index:
-                db.lm_pos[lm] = X_new[lm_index[lm]]
-                continue
-            ref = int(db.lm_ref_kf[lm])
-            if ref not in new_pose or ref not in T_pre:
-                continue
-            To = T_pre[ref]
-            Tn = new_pose[ref]
-            Xc = To[:3, :3] @ db.lm_pos[lm] + To[:3, 3]
-            db.lm_pos[lm] = (Tn[:3, :3].T @ (Xc - Tn[:3, 3])).astype(np.float32)
-        for k, Tk in new_pose.items():
-            db.kf_pose_cw[k] = Tk.astype(np.float32)
+
+def apply_ba_writeback(db, cam_index, lm_index, cam_opt, T_new, X_new):
+    """Write back full-map BA results onto a (possibly moved-on) map.
+
+    Keyframes/landmarks created after the snapshot are propagated via their
+    nearest snapshotted spanning-tree ancestor / reference keyframe (ref
+    global_optimization_module::run_loop_BA born-during pass).  Shared by the
+    in-session global BA and the multi-session distributed BA."""
+    # pre-correction poses of every currently-valid KF (snapshot members
+    # use their snapshot pose: the map may have moved them since)
+    T_pre = {int(k): db.kf_pose_cw[int(k)].copy() for k in db.valid_kf_ids()}
+    new_pose = {}
+    for k, i in cam_index.items():
+        if db.kf_valid[k]:
+            new_pose[k] = T_new[i] if cam_opt[i] else db.kf_pose_cw[k]
+    # born-during keyframes: T_child_new = T_child_old @ inv(T_anc_old) @ T_anc_new
+    for k in db.valid_kf_ids():
+        k = int(k)
+        if k in cam_index:
+            continue
+        anc = k
+        hops = 0
+        while anc not in cam_index and anc >= 0 and hops < 256:
+            anc = int(db.parent[anc])
+            hops += 1
+        if anc not in cam_index:
+            continue
+        rel = T_pre[k] @ np.linalg.inv(T_pre[anc])
+        new_pose[k] = (rel @ new_pose.get(anc, T_pre[anc])).astype(
+            np.float32)
+    # landmarks: snapshot members take BA output; born-during ones move
+    # with their reference keyframe's old->new correction
+    for lm in db.valid_lm_ids():
+        lm = int(lm)
+        if lm in lm_index:
+            db.lm_pos[lm] = X_new[lm_index[lm]]
+            continue
+        ref = int(db.lm_ref_kf[lm])
+        if ref not in new_pose or ref not in T_pre:
+            continue
+        To = T_pre[ref]
+        Tn = new_pose[ref]
+        Xc = To[:3, :3] @ db.lm_pos[lm] + To[:3, 3]
+        db.lm_pos[lm] = (Tn[:3, :3].T @ (Xc - Tn[:3, 3])).astype(np.float32)
+    for k, Tk in new_pose.items():
+        db.kf_pose_cw[k] = Tk.astype(np.float32)

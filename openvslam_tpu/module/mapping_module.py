@@ -35,6 +35,7 @@ class MappingModule:
         self.num_levels = nl
         self.C, self.L, self.O = ba_cams, ba_lms, ba_obs
         self.local_ba = make_local_ba(cam, stereo=self.stereo)
+        self._local_ba_multicam = None    # built lazily (merged-session maps)
         self.recent_lms: List[Tuple[int, int]] = []   # (lm, born_kf)
         self.num_covis_for_triangulation = 10
         self.abort_ba = False
@@ -307,12 +308,21 @@ class MappingModule:
             built = self._build_ba_problem(kf)
         if built is None:
             return
-        prob, cam_index, lm_index, cam_opt, obs_refs, n_obs, lm_ids = built
-        res = self.local_ba(prob)          # jitted solve — outside the lock
+        prob, cam_index, lm_index, cam_opt, obs_refs, n_obs, lm_ids, multicam = built
+        solver = self._multicam_local_ba() if multicam else self.local_ba
+        res = solver(prob)                 # jitted solve — outside the lock
         with lock:
             self._apply_ba_result(res, cam_index, lm_index, cam_opt,
                                   obs_refs, n_obs, lm_ids)
             self.db.version += 1
+
+    def _multicam_local_ba(self):
+        if self._local_ba_multicam is None:
+            from ..optimize import residuals as R2
+            self._local_ba_multicam = make_local_ba(
+                self.cam, res_fn_override=R2.make_multicam_mono_residual(),
+            )
+        return self._local_ba_multicam
 
     def _build_ba_problem(self, kf: int):
         db = self.db
@@ -360,7 +370,25 @@ class MappingModule:
         for lm, i in lm_index.items():
             X[i] = db.lm_pos[lm]
             lm_valid[i] = True
-        D = 3 if self.stereo else 2
+        # merged-session windows may span keyframes from different cameras:
+        # per-observation intrinsics ride in obs columns 2.. (ref: g2o edges
+        # carry their keyframe's camera).  The multicam edge is monocular, so
+        # x_right is dropped for such windows.
+        kf_cam_names = {db.kf_camera[int(k)] for k in cams}
+        multicam = len(kf_cam_names - {None}) > 1
+        camv_by_kf = {}
+        if multicam:
+            from ..optimize import residuals as R2
+            from ..camera.base import camera_to_config
+            for k in cams:
+                name = db.kf_camera[int(k)]
+                if name is not None and name in db.cameras:
+                    camv_by_kf[k] = R2.make_camv(db.cameras[name])
+                else:
+                    camv_by_kf[k] = R2.make_camv(camera_to_config(self.cam))
+            D = 2 + R2.CAMV_DIM
+        else:
+            D = 3 if self.stereo else 2
         oc = np.zeros(O, np.int32)
         ol = np.zeros(O, np.int32)
         ouv = np.zeros((O, D), np.float32)
@@ -376,7 +404,9 @@ class MappingModule:
                 oc[n_obs] = ci
                 ol[n_obs] = li
                 ouv[n_obs, :2] = db.kf_xy_undist[k][kpt]
-                if self.stereo:
+                if multicam:
+                    ouv[n_obs, 2:] = camv_by_kf[k]
+                elif self.stereo:
                     ouv[n_obs, 2] = db.kf_x_right[k][kpt]
                 osg[n_obs] = self.sigma2[db.kf_level[k][kpt]]
                 om[n_obs] = True
@@ -390,7 +420,8 @@ class MappingModule:
             jnp.asarray(oc), jnp.asarray(ol), jnp.asarray(ouv),
             jnp.asarray(osg), jnp.asarray(om),
         )
-        return prob, cam_index, lm_index, cam_opt, obs_refs, n_obs, lm_ids
+        return (prob, cam_index, lm_index, cam_opt, obs_refs, n_obs, lm_ids,
+                multicam)
 
     def _apply_ba_result(self, res, cam_index, lm_index, cam_opt,
                          obs_refs, n_obs, lm_ids):

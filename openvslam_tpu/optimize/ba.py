@@ -75,15 +75,24 @@ def _residuals_and_jacs(res_fn, T_cw, X, obs_cam, obs_lm, obs_uv):
 
 
 def make_local_ba(cam, stereo: bool = False, first_iters: int = 5,
-                  second_iters: int = 10):
+                  second_iters: int = 10, res_fn_override=None):
     """Dense-Schur local BA, one jitted program per (C, L, O) bucket.
 
     Returns fn(problem: BAProblem) -> BAResult.  Mirrors the reference's
     two-phase schedule: `first_iters` LM iterations, outlier re-weighting
     (observations beyond the chi2 gate are dropped), `second_iters` more.
+
+    res_fn_override: alternative residual(T, X, obs_vec), e.g. the
+    multi-camera edge (per-observation intrinsics in obs_uv columns 2..)
+    for local windows that span keyframes from different cameras
+    (ref: g2o reproj_edge_wrapper dispatches on the keyframe's camera).
     """
-    res_fn = R.make_stereo_residual(cam) if stereo else R.make_mono_residual(cam)
-    chi2_thr = R.CHI2_3D if stereo else R.CHI2_2D
+    if res_fn_override is not None:
+        res_fn = res_fn_override
+        chi2_thr = R.CHI2_2D
+    else:
+        res_fn = R.make_stereo_residual(cam) if stereo else R.make_mono_residual(cam)
+        chi2_thr = R.CHI2_3D if stereo else R.CHI2_2D
 
     def lm_phase(p: BAProblem, active: jnp.ndarray, iters: int):
         C = p.T_cw.shape[0]

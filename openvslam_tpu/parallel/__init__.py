@@ -7,5 +7,9 @@ reduction of the landmark block with XLA collectives over ICI/DCN.
 """
 from .mesh import make_mesh
 from .distributed_ba import make_distributed_ba, ShardedBAProblem
+from .multi_session import MultiSessionRunner
 
-__all__ = ["make_mesh", "make_distributed_ba", "ShardedBAProblem"]
+__all__ = [
+    "make_mesh", "make_distributed_ba", "ShardedBAProblem",
+    "MultiSessionRunner",
+]

@@ -49,13 +49,21 @@ class ShardedBAProblem(NamedTuple):
 
 
 def make_distributed_ba(cam, mesh: Mesh, stereo: bool = False, iters: int = 10,
-                        axis: str = "shard"):
+                        axis: str = "shard", res_fn_override=None):
     """Build the sharded BA step.  Returns optimize(problem) -> (T, X, cost).
 
     Shapes: L_total/O_total must divide evenly by the mesh size (host pads).
+
+    res_fn_override: alternative residual(T, X, obs_vec), e.g. the
+    multi-camera edge (per-obs intrinsics in obs_uv columns 2..) for pooled
+    multi-session maps whose sessions use different cameras.
     """
-    res_fn = R.make_stereo_residual(cam) if stereo else R.make_mono_residual(cam)
-    chi2_thr = R.CHI2_3D if stereo else R.CHI2_2D
+    if res_fn_override is not None:
+        res_fn = res_fn_override
+        chi2_thr = R.CHI2_2D
+    else:
+        res_fn = R.make_stereo_residual(cam) if stereo else R.make_mono_residual(cam)
+        chi2_thr = R.CHI2_3D if stereo else R.CHI2_2D
 
     def shard_body(T0, cam_opt, cam_valid, X0, lm_valid, obs_cam, obs_lm,
                    obs_uv, obs_sigma2, obs_mask):

@@ -27,8 +27,7 @@ def _project_equirect(T, X, cols, rows):
                      rows * (0.5 - lat / np.pi)], -1), d
 
 
-@pytest.mark.parametrize("with_equirect", [False, True])
-def test_multicam_global_ba_recovers(with_equirect):
+def _build_multicam_problem(with_equirect):
     rng = np.random.default_rng(3)
     n_pts = 120
     X_gt = rng.uniform(-3, 3, (n_pts, 3)) + np.array([0, 0, 8.0])
@@ -94,21 +93,40 @@ def test_multicam_global_ba_recovers(with_equirect):
     Xp[:n_pts] = X0
     lm_valid[:n_pts] = True
 
-    ba = make_global_ba(None, iters=12, cg_iters=40,
-                        res_fn_override=R.make_multicam_mono_residual())
     prob = BAProblem(
         jnp.asarray(T), jnp.asarray(cam_opt), jnp.asarray(cam_valid),
         jnp.asarray(Xp), jnp.asarray(lm_valid),
         jnp.asarray(oc), jnp.asarray(ol), jnp.asarray(ouv),
         jnp.asarray(osg), jnp.asarray(om),
     )
-    res = ba(prob)
+    return prob, T_gt, X_gt, n_pts, len(rigs)
+
+
+def _check_recovery(res, T_gt, X_gt, n_pts, n_rigs):
     T_out = np.asarray(res.T_cw)
     X_out = np.asarray(res.X)
-    for i in range(len(rigs)):
+    for i in range(n_rigs):
         err_t = np.linalg.norm(T_out[i][:3, 3] - T_gt[i][:3, 3])
         assert err_t < 2e-3, f"rig {i} translation error {err_t}"
         err_r = np.linalg.norm(T_out[i][:3, :3] - T_gt[i][:3, :3])
         assert err_r < 2e-3, f"rig {i} rotation error {err_r}"
     pt_err = np.linalg.norm(X_out[:n_pts] - X_gt, axis=-1)
     assert np.median(pt_err) < 5e-3
+
+
+@pytest.mark.parametrize("with_equirect", [False, True])
+def test_multicam_global_ba_recovers(with_equirect):
+    prob, T_gt, X_gt, n_pts, n_rigs = _build_multicam_problem(with_equirect)
+    ba = make_global_ba(None, iters=12, cg_iters=40,
+                        res_fn_override=R.make_multicam_mono_residual())
+    _check_recovery(ba(prob), T_gt, X_gt, n_pts, n_rigs)
+
+
+def test_multicam_local_ba_recovers():
+    """Dense-Schur local BA with per-observation intrinsics (the path the
+    mapping module takes when a merged-session local window spans cameras)."""
+    from openvslam_tpu.optimize.ba import make_local_ba
+    prob, T_gt, X_gt, n_pts, n_rigs = _build_multicam_problem(True)
+    ba = make_local_ba(None, first_iters=6, second_iters=8,
+                       res_fn_override=R.make_multicam_mono_residual())
+    _check_recovery(ba(prob), T_gt, X_gt, n_pts, n_rigs)
