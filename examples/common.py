@@ -69,6 +69,16 @@ def build_system(args):
     return cfg, system
 
 
+def frame_gate(system) -> bool:
+    """Honor the live viewer's playback controls each frame (ref
+    pangolin_viewer: the example loop checks pause/step/terminate).
+    Returns False when the loop should stop feeding."""
+    v = getattr(system, "_viewer", None)
+    if v is None:
+        return True
+    return v.wait_if_paused()
+
+
 def finish(args, system, track_times):
     if getattr(system, "_profiling", False):
         import jax

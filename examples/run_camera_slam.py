@@ -2,7 +2,7 @@
 device fed in real time; pair with --viewer for the live web view."""
 import time
 
-from common import base_parser, build_system, finish, Timer
+from common import base_parser, build_system, finish, frame_gate, Timer
 
 
 def main():
@@ -26,6 +26,8 @@ def main():
     n = 0
     try:
         while not args.max_frames or n < args.max_frames:
+            if not frame_gate(system):
+                break
             ok, frame = cap.read()
             if not ok:
                 break

@@ -1,6 +1,6 @@
 """EuRoC MAV runner (ref example/run_euroc_slam.cc): stereo (with rectifier
 from the YAML StereoRectifier section) or monocular."""
-from common import base_parser, build_system, finish, Timer
+from common import base_parser, build_system, finish, frame_gate, Timer
 
 
 def main():
@@ -20,6 +20,8 @@ def main():
     seq = EurocSequence(args.data_dir, stereo=stereo)
     times = []
     for i in range(0, len(seq), args.frame_skip):
+        if not frame_gate(system):
+            break
         ts, left, right = seq[i]
         with Timer() as t:
             if stereo and right is not None:

@@ -3,7 +3,7 @@ of images fed at the config fps.  Localization mode via --map-db-in."""
 import glob
 import os
 
-from common import base_parser, build_system, finish, Timer
+from common import base_parser, build_system, finish, frame_gate, Timer
 
 
 def main():
@@ -19,6 +19,8 @@ def main():
     fps = cfg.camera.fps
     times = []
     for i in range(0, len(files), args.frame_skip):
+        if not frame_gate(system):
+            break
         img = _imread_gray(files[i])
         with Timer() as t:
             system.feed_monocular_frame(img, i / fps)

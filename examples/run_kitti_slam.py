@@ -1,5 +1,5 @@
 """KITTI odometry runner (ref example/run_kitti_slam.cc): stereo or mono."""
-from common import base_parser, build_system, finish, Timer
+from common import base_parser, build_system, finish, frame_gate, Timer
 
 
 def main():
@@ -16,6 +16,8 @@ def main():
     seq = KittiOdometrySequence(args.data_dir, stereo=stereo)
     times = []
     for i in range(0, len(seq), args.frame_skip):
+        if not frame_gate(system):
+            break
         ts, left, right = seq[i]
         with Timer() as t:
             if stereo and right is not None:

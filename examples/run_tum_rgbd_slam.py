@@ -1,6 +1,6 @@
 """TUM RGB-D runner (ref example/run_tum_rgbd_slam.cc): monocular or RGBD
 depending on the config's Camera.setup."""
-from common import base_parser, build_system, finish, Timer
+from common import base_parser, build_system, finish, frame_gate, Timer
 
 
 def main():
@@ -16,6 +16,8 @@ def main():
     rgbd = cfg.camera.setup == SetupType.RGBD
     times = []
     for i in range(0, len(seq), args.frame_skip):
+        if not frame_gate(system):
+            break
         ts, img, depth = seq[i]
         with Timer() as t:
             if rgbd and depth is not None:

@@ -1,7 +1,7 @@
 """Video-file runner (ref example/run_video_slam.cc): decodes a video with
 OpenCV and feeds frames at their timestamps.  Localization mode via
 --map-db-in.  Requires opencv-python (baked in this image)."""
-from common import base_parser, build_system, finish, Timer
+from common import base_parser, build_system, finish, frame_gate, Timer
 
 
 def main():
@@ -22,6 +22,8 @@ def main():
     times = []
     i = -1
     while True:
+        if not frame_gate(system):
+            break
         ok, frame = cap.read()
         if not ok:
             break

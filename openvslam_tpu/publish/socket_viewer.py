@@ -55,7 +55,10 @@ _PAGE = """<!DOCTYPE html>
 <body>
 <div id="hud">connecting…</div>
 <div id="panel" style="position:fixed;top:28px;left:10px;z-index:2">
- <button onclick="ctl('pause')">pause</button>
+ <button onclick="ctl('playback')">play/pause</button>
+ <button onclick="ctl('step')">step</button>
+ <button id="follow" onclick="FOLLOW=!FOLLOW;this.style.opacity=FOLLOW?1:0.5">follow</button>
+ <button onclick="ctl('pause')">pause threads</button>
  <button onclick="ctl('resume')">resume</button>
  <button onclick="ctl('toggle_mapping')">mapping</button>
  <button onclick="ctl('toggle_loop')">loop</button>
@@ -66,6 +69,7 @@ _PAGE = """<!DOCTYPE html>
 <canvas id="c"></canvas>
 <script>
 let DATA = {landmarks:[],kf_centers:[],covis_edges:[],cur:null,stats:{}};
+let FOLLOW = false;
 const cv = document.getElementById('c'), ctx = cv.getContext('2d');
 let yaw=-0.6, pitch=-0.5, dist=14, cx=0, cy=0, C=[0,0,0];
 function recenter() {
@@ -127,7 +131,8 @@ async function ctl(cmd) { await fetch('control?cmd=' + cmd); }
 async function tick() {
   try {
     const r = await fetch('state.json'); DATA = await r.json();
-    recenter(); draw();
+    if (FOLLOW && DATA.cur) C = DATA.cur.slice(); else recenter();
+    draw();
     const s = DATA.stats;
     document.getElementById('hud').textContent =
       `openvslam_tpu live — ${s.state||'?'} · ${DATA.kf_centers.length} KFs · ` +
@@ -200,6 +205,11 @@ class SocketViewer:
         self._frame_lock = threading.Lock()
         self._frame_png: Optional[bytes] = None
         self._frame_id_png = -1
+        # playback control plane (ref pangolin_viewer pause/step buttons):
+        # honored by feed loops via wait_if_paused()
+        self.playback_paused = False
+        self._step = threading.Event()
+        self.terminate_requested = False
 
     # -- lifecycle ------------------------------------------------------
     def start(self):
@@ -278,14 +288,32 @@ class SocketViewer:
                 s.enable_loop_detector()
         elif cmd == "terminate":
             self.terminate_requested = True
+        elif cmd == "playback":
+            self.playback_paused = not self.playback_paused
+        elif cmd == "step":
+            self.playback_paused = True
+            self._step.set()
         else:
             ok = False
         return {
             "ok": ok,
             "mapping": s.mapping_enabled,
             "loop": s.loop_detector_is_enabled(),
-            "terminate": getattr(self, "terminate_requested", False),
+            "playback_paused": self.playback_paused,
+            "terminate": self.terminate_requested,
         }
+
+    def wait_if_paused(self, poll: float = 0.05) -> bool:
+        """Block the caller's feed loop while playback is paused; a 'step'
+        lets exactly one frame through.  Returns False once terminate was
+        requested (the loop should stop feeding)."""
+        import time as _time
+        while self.playback_paused and not self.terminate_requested:
+            if self._step.is_set():
+                self._step.clear()
+                return True
+            _time.sleep(poll)
+        return not self.terminate_requested
 
     def frame_png(self) -> Optional[bytes]:
         snap = self.system.frame_publisher.get_current_frame()

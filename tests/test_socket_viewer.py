@@ -120,3 +120,40 @@ def test_autosave_snapshots(tmp_path):
     s2.load_map_database(str(snap))
     assert s2.map_db.n_kfs >= 2
     assert len(s2.map_db.valid_lm_ids()) > 50
+
+
+def test_playback_pause_step_controls():
+    """Playback control plane (ref pangolin_viewer pause/step): 'step' lets
+    exactly one frame through a paused feed loop; terminate unblocks it."""
+    import threading
+    import time
+
+    from openvslam_tpu.publish.socket_viewer import SocketViewer
+
+    class _Sys:   # control() only touches these on unknown/playback cmds
+        mapping_enabled = True
+
+        def loop_detector_is_enabled(self):
+            return False
+
+    v = SocketViewer(_Sys())
+    assert v.wait_if_paused() is True          # not paused: passes through
+
+    out = v.control("playback")
+    assert out["ok"] and out["playback_paused"]
+    passed = []
+    t = threading.Thread(target=lambda: passed.append(v.wait_if_paused()))
+    t.start()
+    time.sleep(0.15)
+    assert not passed, "feed loop ran through a paused viewer"
+    v.control("step")
+    t.join(timeout=5)
+    assert passed == [True]
+
+    # still paused after the step; terminate unblocks and stops the loop
+    t2 = threading.Thread(target=lambda: passed.append(v.wait_if_paused()))
+    t2.start()
+    time.sleep(0.15)
+    v.control("terminate")
+    t2.join(timeout=5)
+    assert passed == [True, False]
