@@ -36,6 +36,9 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="write a jax.profiler trace (TensorBoard) to DIR")
     p.add_argument("--auto-save", default=None, metavar="PATH",
                    help="periodic async map snapshots to PATH")
+    p.add_argument("--sync-mapping", action="store_true",
+                   help="run mapping inline with tracking (default: own "
+                        "thread, the reference's 3-module concurrency)")
     return p
 
 
@@ -51,7 +54,8 @@ def build_system(args):
     )
     cfg = Config.from_yaml(args.setting)
     vocab = None if args.vocab == "none" else args.vocab
-    system = System(cfg, vocab_path=vocab)
+    system = System(cfg, vocab_path=vocab,
+                    async_mapping=not getattr(args, "sync_mapping", False))
     if args.map_db_in:
         system.load_map_database(args.map_db_in)
         system.disable_mapping_module()
