@@ -25,14 +25,18 @@ __version__ = "0.1.0"
 
 # TPU matmul precision: XLA lowers f32 x f32 dots to ONE bf16 MXU pass by
 # default, which destroys the epipolar/RANSAC geometry (observed on-device:
-# two-view initialization never succeeds).  Pin f32 dots to full precision;
-# kernels that WANT bf16 (descriptor one-hot contractions, Hamming popcounts)
-# cast their operands explicitly and are unaffected by this default.
+# two-view initialization never succeeds) — but a package-wide "highest" pin
+# costs 3x end-to-end frame throughput (measured 43.6 vs 126.6 fps on v5e).
+# The pin is therefore SCOPED: geometry-critical subgraphs (solvers,
+# triangulation, pose LM, BA, pose graph) carry @geometry_precision
+# (ops.precision); the frontend's big contractions keep one-pass bf16.
+# OPENVSLAM_TPU_MATMUL_PRECISION, if set, still pins globally (debug tool).
 import os as _os
 
-import jax as _jax
+if "OPENVSLAM_TPU_MATMUL_PRECISION" in _os.environ:
+    import jax as _jax
 
-_jax.config.update(
-    "jax_default_matmul_precision",
-    _os.environ.get("OPENVSLAM_TPU_MATMUL_PRECISION", "highest"),
-)
+    _jax.config.update(
+        "jax_default_matmul_precision",
+        _os.environ["OPENVSLAM_TPU_MATMUL_PRECISION"],
+    )

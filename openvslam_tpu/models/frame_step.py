@@ -17,6 +17,7 @@ import numpy as np
 
 from ..ops import match as M
 from ..ops import se3
+from ..ops.precision import geometry_precision
 from ..optimize import residuals as R
 from .frontend import OrbFrontend, Keypoints
 
@@ -139,8 +140,14 @@ class FrameStep:
             c2 = jnp.sum(r * r, -1) * inv_s2
             return (T, matched & ok & (c2 < chi2_thr)), None
 
-        (T_fin, active), _ = jax.lax.scan(
-            lm_round, (T_pred, matched), None, length=self.opt_rounds
-        )
+        # the LM core accumulates J^T J over all observations — pin it to
+        # full f32 (ops.precision); extraction/matching above stay one-pass
+        @geometry_precision
+        def run_lm(T0):
+            return jax.lax.scan(
+                lm_round, (T0, matched), None, length=self.opt_rounds
+            )[0]
+
+        T_fin, active = run_lm(T_pred)
         n_inl = jnp.sum(active.astype(jnp.int32))
         return FrameStepResult(T_fin, n_inl, kp.xy, kp.valid, idx, kp.desc_u32)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import se3
+from .precision import geometry_precision
 
 _EPS = 1e-9
 
@@ -21,6 +22,7 @@ _EPS = 1e-9
 # normalization helpers
 # ---------------------------------------------------------------------------
 
+@geometry_precision
 def hartley_normalize(pts: jnp.ndarray, mask: jnp.ndarray):
     """Isotropic normalization of (N,2) points -> (T(3,3), pts_n(N,2))."""
     w = mask.astype(pts.dtype)
@@ -49,6 +51,7 @@ def _smallest_right_singular(A: jnp.ndarray) -> jnp.ndarray:
 # fundamental matrix (normalized 8-point) — ref solve/fundamental_solver
 # ---------------------------------------------------------------------------
 
+@geometry_precision
 def fit_fundamental(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     """8-point F from (k,2)+(k,2) undistorted pixels; returns (3,3), rank-2."""
     T1, p1n = hartley_normalize(p1, jnp.ones(p1.shape[0], bool))
@@ -65,6 +68,7 @@ def fit_fundamental(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     return T2.T @ F @ T1
 
 
+@geometry_precision
 def score_fundamental(F, p1, p2, mask, sigma: float = 1.0):
     """ORB-SLAM-style chi2 score: sum over inliers of (thr - chi2) both dirs."""
     ones = jnp.ones_like(p1[:, :1])
@@ -91,6 +95,7 @@ def score_fundamental(F, p1, p2, mask, sigma: float = 1.0):
 # homography (normalized DLT) — ref solve/homography_solver
 # ---------------------------------------------------------------------------
 
+@geometry_precision
 def fit_homography(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     """DLT H (p2 ~ H p1) from (k,2)+(k,2); k>=4."""
     T1, p1n = hartley_normalize(p1, jnp.ones(p1.shape[0], bool))
@@ -108,6 +113,7 @@ def fit_homography(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     return Hn / jnp.where(jnp.abs(Hn[2, 2]) < _EPS, _EPS, Hn[2, 2])
 
 
+@geometry_precision
 def score_homography(H, p1, p2, mask, sigma: float = 1.0):
     ones = jnp.ones_like(p1[:, :1])
     h1 = jnp.concatenate([p1, ones], -1)
@@ -130,6 +136,7 @@ def score_homography(H, p1, p2, mask, sigma: float = 1.0):
 # essential matrix on bearings — ref solve/essential_solver
 # ---------------------------------------------------------------------------
 
+@geometry_precision
 def fit_essential(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
     """8-point E from unit bearings (k,3)+(k,3): b2^T E b1 = 0."""
     x1, y1, z1 = b1[:, 0], b1[:, 1], b1[:, 2]
@@ -145,6 +152,7 @@ def fit_essential(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
     return (U * S[None, :]) @ Vt
 
 
+@geometry_precision
 def score_essential(E, b1, b2, mask, thr: float = 1e-3):
     """Angular epipolar residual on the unit sphere (both directions)."""
     Eb1 = b1 @ E.T
@@ -161,6 +169,7 @@ def score_essential(E, b1, b2, mask, thr: float = 1e-3):
     return score, ok
 
 
+@geometry_precision
 def decompose_essential(E: jnp.ndarray):
     """E -> 4 hypotheses (R (4,3,3), t (4,3)), t unit norm."""
     U, _, Vt = jnp.linalg.svd(E)
@@ -177,6 +186,7 @@ def decompose_essential(E: jnp.ndarray):
     return Rs, ts
 
 
+@geometry_precision
 def essential_from_F(F: jnp.ndarray, K1: jnp.ndarray, K2: jnp.ndarray) -> jnp.ndarray:
     return K2.T @ F @ K1
 
@@ -185,6 +195,7 @@ def essential_from_F(F: jnp.ndarray, K1: jnp.ndarray, K2: jnp.ndarray) -> jnp.nd
 # homography decomposition (Faugeras) — ref initialize/perspective
 # ---------------------------------------------------------------------------
 
+@geometry_precision
 def decompose_homography(H: jnp.ndarray, K: jnp.ndarray):
     """Faugeras decomposition of H (image-to-image, same K both views).
 
@@ -247,6 +258,7 @@ def decompose_homography(H: jnp.ndarray, K: jnp.ndarray):
 # PnP on bearings (linear DLT + SO(3) projection) — ref solve/pnp_solver
 # ---------------------------------------------------------------------------
 
+@geometry_precision
 def fit_pnp_dlt(bearings: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     """Linear PnP from k>=6 (bearing, world point) pairs -> T_cw (4,4).
 
@@ -281,6 +293,7 @@ def fit_pnp_dlt(bearings: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     return se3.from_Rt(R, t)
 
 
+@geometry_precision
 def score_pnp(T_cw, bearings, points, mask, thr_cos: float = 0.9999):
     """Inliers = angle between predicted and observed bearing below thr."""
     pc = points @ T_cw[:3, :3].T + T_cw[:3, 3]
@@ -294,6 +307,7 @@ def score_pnp(T_cw, bearings, points, mask, thr_cos: float = 0.9999):
 # Sim3 Horn closed form — ref solve/sim3_solver
 # ---------------------------------------------------------------------------
 
+@geometry_precision
 def fit_sim3_horn(p1: jnp.ndarray, p2: jnp.ndarray, fix_scale: bool = False):
     """Horn 1987 absolute orientation: find (R,t,s) with p2 ~ s R p1 + t.
 
@@ -318,6 +332,7 @@ def fit_sim3_horn(p1: jnp.ndarray, p2: jnp.ndarray, fix_scale: bool = False):
     return R, t, s
 
 
+@geometry_precision
 def score_sim3(g, p1, p2, mask, thr: float):
     """Symmetric 3D transfer error below thr (in squared distance)."""
     R, t, s = g

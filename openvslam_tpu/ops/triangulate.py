@@ -10,10 +10,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import se3
+from .precision import geometry_precision
 
 _EPS = 1e-9
 
 
+@geometry_precision
 def triangulate_two_view(b1, b2, T1_cw, T2_cw):
     """b1, b2: (N,3) bearings; T*_cw: (4,4) poses. Returns (X_w (N,3), ok (N,))."""
     P1 = T1_cw[:3, :]  # (3,4)
@@ -33,6 +35,7 @@ def triangulate_two_view(b1, b2, T1_cw, T2_cw):
     return X, ok
 
 
+@geometry_precision
 def depths_and_parallax(X_w, b1, b2, T1_cw, T2_cw):
     """Cheirality/parallax helpers for triangulation gating.
 

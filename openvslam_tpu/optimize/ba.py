@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from . import residuals as R
+from ..ops.precision import geometry_precision
 
 
 class BAProblem(NamedTuple):
@@ -188,6 +189,7 @@ def make_local_ba(cam, stereo: bool = False, first_iters: int = 5,
         return T, X, c2, ok, cost
 
     @jax.jit
+    @geometry_precision
     def optimize(p: BAProblem) -> BAResult:
         active = p.obs_mask
         T, X, c2, ok, _ = lm_phase(p, active, first_iters)
@@ -224,6 +226,7 @@ def make_global_ba(cam, stereo: bool = False, iters: int = 10, cg_iters: int = 4
         chi2_thr = R.CHI2_3D if stereo else R.CHI2_2D
 
     @jax.jit
+    @geometry_precision
     def optimize(p: BAProblem) -> BAResult:
         C = p.T_cw.shape[0]
         L = p.X.shape[0]

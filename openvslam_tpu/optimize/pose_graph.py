@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import sim3
+from ..ops.precision import geometry_precision
 
 
 class PoseGraphProblem(NamedTuple):
@@ -40,6 +41,7 @@ class PoseGraphProblem(NamedTuple):
 
 def make_pose_graph_optimizer(iters: int = 20, cg_iters: int = 50):
     @jax.jit
+    @geometry_precision
     def optimize(p: PoseGraphProblem):
         N = p.R.shape[0]
         free = p.node_valid & ~p.node_fixed

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from . import residuals as R
+from ..ops.precision import geometry_precision
 
 
 class PoseOptResult(NamedTuple):
@@ -51,6 +52,7 @@ def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
         )
         return J  # (N, d, 6)
 
+    @geometry_precision
     def optimize(T_init, X_w, obs, sigma2, mask):
         inv_s2 = 1.0 / jnp.maximum(sigma2, 1e-12)
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..ops import sim3
 from . import residuals as R
+from ..ops.precision import geometry_precision
 
 CHI2_SIM3 = 10.0
 
@@ -34,6 +35,7 @@ class Sim3OptResult(NamedTuple):
 def make_sim3_transform_optimizer(cam, fix_scale: bool = False,
                                   first_iters: int = 10, second_iters: int = 10):
     @jax.jit
+    @geometry_precision
     def optimize(R0, t0, s0, lm1, lm2, uv1, uv2, sigma2_1, sigma2_2, mask):
         inv1 = 1.0 / jnp.maximum(sigma2_1, 1e-12)
         inv2 = 1.0 / jnp.maximum(sigma2_2, 1e-12)

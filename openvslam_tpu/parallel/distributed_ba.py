@@ -31,6 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..optimize import residuals as R
+from ..ops.precision import geometry_precision
 
 
 class ShardedBAProblem(NamedTuple):
@@ -179,6 +180,7 @@ def make_distributed_ba(cam, mesh: Mesh, stereo: bool = False, iters: int = 10,
     )
 
     @jax.jit
+    @geometry_precision
     def optimize(p: ShardedBAProblem):
         return sharded(
             p.T_cw, p.cam_opt, p.cam_valid, p.X, p.lm_valid,
