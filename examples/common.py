@@ -45,6 +45,16 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
 def build_system(args):
     import logging
 
+    # persistent XLA compile cache: BA bucket shapes recur across runs, so
+    # cache hits remove the per-bucket compile stalls on later sessions
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
     from openvslam_tpu.config import Config
     from openvslam_tpu.system import System
 

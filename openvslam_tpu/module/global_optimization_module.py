@@ -10,6 +10,7 @@ from typing import Dict, Optional, Set
 import numpy as np
 import jax.numpy as jnp
 
+from ..camera.base import SetupType
 from ..data.bow import BowDatabase, Vocabulary, default_vocabulary
 from ..ops import sim3 as sim3_ops
 from ..optimize import residuals as R2
@@ -33,6 +34,7 @@ class GlobalOptimizationModule:
             vocab = Vocabulary.load(vocab_path)
         self.bow_db = BowDatabase(vocab, map_db)
         self.loop_detector = LoopDetector(cfg, cam, map_db, self.bow_db, fix_scale)
+        self.stereo = cam.setup != SetupType.MONOCULAR
         self.relocalizer = Relocalizer(cfg, cam, map_db, self.bow_db)
         self.pose_graph_opt = make_pose_graph_optimizer(iters=20, cg_iters=60)
         self.num_loops_closed = 0
@@ -305,10 +307,13 @@ class GlobalOptimizationModule:
             X[i] = db.lm_pos[l]
             lm_valid[i] = True
         # multi-camera map (merged sessions): per-observation intrinsics ride
-        # in the observation columns 2.. (optimize.residuals multicam edge)
+        # in the observation columns 2.. (optimize.residuals multicam edge).
+        # single-camera stereo/RGBD maps carry x_right in column 2 (ref:
+        # global BA uses stereo reprojection edges; u_right<0 marks mono obs)
         kf_cam_names = {db.kf_camera[int(k)] for k in kf_ids}
         multicam = len(kf_cam_names - {None}) > 1
-        D = 2 + R2.CAMV_DIM if multicam else 2
+        stereo = self.stereo and not multicam
+        D = 2 + R2.CAMV_DIM if multicam else (3 if stereo else 2)
         camv_by_kf = {}
         if multicam:
             for k in kf_ids:
@@ -335,14 +340,17 @@ class GlobalOptimizationModule:
                 ouv[n_obs, :2] = db.kf_xy_undist[k][kpt]
                 if multicam:
                     ouv[n_obs, 2:] = camv_by_kf[k]
+                elif stereo:
+                    xr = db.kf_x_right[k]
+                    ouv[n_obs, 2] = xr[kpt] if xr is not None else -1.0
                 osg[n_obs] = self.sigma2[db.kf_level[k][kpt]]
                 om[n_obs] = True
                 n_obs += 1
 
-        key = (C, L, O, multicam)
+        key = (C, L, O, multicam, stereo)
         if key not in self._global_ba_cache:
             self._global_ba_cache[key] = make_global_ba(
-                self.cam, iters=iters, cg_iters=30,
+                self.cam, stereo=stereo, iters=iters, cg_iters=30,
                 res_fn_override=(
                     R2.make_multicam_mono_residual() if multicam else None),
             )

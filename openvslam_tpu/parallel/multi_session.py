@@ -118,6 +118,7 @@ class MultiSessionRunner:
         """
         snaps = []
         cam_specs = set()
+        all_stereo = all(s.cam.setup != SetupType.MONOCULAR for s in self.systems)
         for s in self.systems:
             with s.map_lock:
                 db = s.map_db
@@ -137,9 +138,12 @@ class MultiSessionRunner:
                     for k, kpt in db.lm_obs[l].items():
                         if not db.kf_valid[k]:
                             continue
+                        xr = -1.0
+                        if all_stereo and db.kf_x_right[k] is not None:
+                            xr = float(db.kf_x_right[k][kpt])
                         snap["obs"].append((
                             k, l, db.kf_xy_undist[k][kpt].copy(),
-                            float(sigma2[db.kf_level[k][kpt]]),
+                            float(sigma2[db.kf_level[k][kpt]]), xr,
                         ))
                 snaps.append(snap)
             spec = camera_to_config(s.cam)
@@ -153,11 +157,14 @@ class MultiSessionRunner:
         if n_c < 3 or n_l < 30 or n_o < 60:
             return None
         multicam = len(cam_specs) > 1
+        # stereo edges (u, v, u_right) only when every session is stereo/RGBD
+        # and they share one camera (the multicam edge is monocular)
+        stereo = all_stereo and not multicam
 
         C = max(8, 1 << int(np.ceil(np.log2(n_c))))
         L = max(64, 1 << int(np.ceil(np.log2(n_l))))
         O = max(256, 1 << int(np.ceil(np.log2(n_o))))
-        D = 2 + R.CAMV_DIM if multicam else 2
+        D = 2 + R.CAMV_DIM if multicam else (3 if stereo else 2)
 
         T = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
         cam_opt = np.zeros(C, bool)
@@ -185,7 +192,7 @@ class MultiSessionRunner:
             for l, i in lm_index.items():
                 X[i] = sn["lm_pos"][l]
                 lm_valid[i] = True
-            for k, l, uv, s2 in sn["obs"]:
+            for k, l, uv, s2, xr in sn["obs"]:
                 if n_obs >= O:
                     break
                 oc[n_obs] = cam_index[k]
@@ -193,6 +200,8 @@ class MultiSessionRunner:
                 ouv[n_obs, :2] = uv
                 if multicam:
                     ouv[n_obs, 2:] = camv
+                elif stereo:
+                    ouv[n_obs, 2] = xr
                 osg[n_obs] = s2
                 om[n_obs] = True
                 n_obs += 1
@@ -210,7 +219,7 @@ class MultiSessionRunner:
         )
         return {
             "prob": prob, "per_session": per_session, "multicam": multicam,
-            "cam_opt": cam_opt, "shapes": (C, L, O, D),
+            "stereo": stereo, "cam_opt": cam_opt, "shapes": (C, L, O, D),
         }
 
     def joint_bundle_adjust(self, iters: int = 10) -> Optional[float]:
@@ -226,12 +235,13 @@ class MultiSessionRunner:
         shards = int(self.mesh.devices.size)   # shard count must match the mesh
         sp = partition_problem(built["prob"], shards)
         key = (
-            built["shapes"], shards, built["multicam"],
+            built["shapes"], shards, built["multicam"], built["stereo"],
             sp.X.shape[0], sp.obs_cam.shape[0], iters,
         )
         if key not in self._ba_cache:
             self._ba_cache[key] = make_distributed_ba(
-                self.systems[0].cam, self.mesh, iters=iters,
+                self.systems[0].cam, self.mesh, stereo=built["stereo"],
+                iters=iters,
                 res_fn_override=(
                     R.make_multicam_mono_residual() if built["multicam"] else None),
             )

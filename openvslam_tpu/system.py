@@ -18,6 +18,7 @@ from typing import List, Optional
 import numpy as np
 import jax.numpy as jnp
 
+from .camera.base import SetupType
 from .config import Config
 from .data import Frame, MapDatabase
 from .models.frontend import OrbFrontend
@@ -66,8 +67,11 @@ class System:
         # session has relocalization; loop detection stays gated by
         # cfg.loop.enabled inside the module.
         from .module.global_optimization_module import GlobalOptimizationModule
+        # stereo/RGBD fixes the Sim3 scale in loop validation/correction
+        # (ref: sim3_solver fix_scale for non-monocular setups)
         self.global_optimizer = GlobalOptimizationModule(
-            cfg, self.cam, self.map_db, vocab_path
+            cfg, self.cam, self.map_db, vocab_path,
+            fix_scale=self.cam.setup != SetupType.MONOCULAR,
         )
         self.mapper = MappingModule(
             cfg, self.cam, self.map_db, global_optimizer=self.global_optimizer
@@ -99,7 +103,6 @@ class System:
         # fused per-frame tracking program (one device call on the common
         # path; OPENVSLAM_TPU_FUSED=0 forces the unfused module calls)
         import os
-        from .camera.base import SetupType
         self._track_step = None
         if (os.environ.get("OPENVSLAM_TPU_FUSED", "1") != "0"
                 and self.cam.setup == SetupType.MONOCULAR):

@@ -139,3 +139,80 @@ def test_shard_count_invariance(multi_run):
     T8, c8 = outs[8]
     np.testing.assert_allclose(T1, T8, atol=2e-3)
     assert abs(c1 - c8) / max(c1, 1e-9) < 0.02
+
+
+BASELINE_M = 0.2
+
+
+def _make_stereo_system(cols=416, rows=320, fx=350.0):
+    cfg = Config.from_dict({
+        "Camera": {
+            "name": "syn-stereo", "setup": "stereo", "model": "perspective",
+            "fx": fx, "fy": fx, "cx": cols / 2, "cy": rows / 2,
+            "cols": cols, "rows": rows, "fps": 10,
+            "focal_x_baseline": fx * BASELINE_M,
+            "depth_threshold": 30.0, "depthmap_factor": 1.0,
+        },
+        "Feature": {"max_num_keypts": 600, "num_levels": 4,
+                    "scale_factor": 1.2},
+        "LoopDetector": {"enabled": False},
+    })
+    return cfg, System(cfg)
+
+
+def _stereo_frames(cam, seed, n=12, x0=0.0):
+    rng = np.random.default_rng(seed)
+    scene = synthetic.PlaneSceneRenderer(
+        rng, x_range=(x0 - 4, x0 + 10), y_range=(-5, 5), plane_z=7.0,
+        rows=cam.rows, cols=cam.cols)
+    xs = np.linspace(x0, x0 + 4.0, n)
+    poses = np.stack([synthetic.lookat_pose_cw((x, 0, 0), (x, 0, 7))
+                      for x in xs])
+    shift = np.eye(4)
+    shift[0, 3] = -BASELINE_M
+    return [(scene.render(cam, poses[i]),
+             scene.render(cam, shift @ poses[i]), i / 10.0)
+            for i in range(n)], poses
+
+
+def test_stereo_multi_session_pooled_ba():
+    """All-stereo sessions pool with stereo (u, v, u_right) edges — the
+    KITTI 00+02+05 configuration (ref: stereo reprojection edges in BA)."""
+    systems, streams = [], []
+    for i in range(2):
+        cfg, s = _make_stereo_system()
+        fr, _ = _stereo_frames(s.cam, seed=60 + i, x0=30.0 * i)
+        systems.append(s)
+        streams.append(fr)
+    runner = MultiSessionRunner(systems, mesh=make_mesh(8))
+    tracked = runner.run(streams)
+    for i, t in enumerate(tracked):
+        assert np.mean(t) > 0.8, f"stereo session {i}: {t}"
+    built = runner.snapshot_problem()
+    assert built is not None
+    assert built["stereo"] and not built["multicam"]
+    assert built["prob"].obs_uv.shape[-1] == 3
+    # stereo obs actually carry x_right (not all mono-marked)
+    ouv = np.asarray(built["prob"].obs_uv)
+    om = np.asarray(built["prob"].obs_mask)
+    assert (ouv[om, 2] >= 0).mean() > 0.5, "no stereo observations pooled"
+    cost = runner.joint_bundle_adjust(iters=6)
+    assert cost is not None and np.isfinite(cost)
+    for s in systems:
+        db = s.map_db
+        for k in db.valid_kf_ids():
+            assert np.isfinite(db.kf_pose_cw[int(k)]).all()
+        # metric scale survives the pooled solve (stereo maps are metric):
+        # consecutive-KF spacing stays within the rendered 4 m span
+        ids = sorted(int(k) for k in db.valid_kf_ids())
+        cs = np.stack([
+            -db.kf_pose_cw[k][:3, :3].T @ db.kf_pose_cw[k][:3, 3] for k in ids
+        ])
+        span = np.linalg.norm(cs[-1] - cs[0])
+        assert 1.0 < span < 8.0, span
+
+    # in-session stereo global BA (D=3 path in _build_global_ba)
+    s0 = systems[0]
+    s0.global_optimizer.run_global_ba(iters=6)
+    for k in s0.map_db.valid_kf_ids():
+        assert np.isfinite(s0.map_db.kf_pose_cw[int(k)]).all()
