@@ -54,6 +54,8 @@ class TrackStepResult(NamedTuple):
     kp_response: jnp.ndarray    # (K,)
     kp_desc_u32: jnp.ndarray    # (K,8) — desc_i8 is reconstructed on host
     kp_valid: jnp.ndarray       # (K,)
+    kp_x_right: jnp.ndarray     # (K,) stereo/RGBD right-u (-1 = mono obs)
+    kp_depth: jnp.ndarray       # (K,) stereo/RGBD depth (-1 = unknown)
     # association: slot in the combined landmark table per keypoint
     # (-1 none, [0,P) last-frame slot, [P,P+L) local-map slot)
     kp_src: jnp.ndarray         # (K,) i32
@@ -66,13 +68,21 @@ class TrackStepResult(NamedTuple):
 
 class TrackStep:
     """Build once per (camera, frontend geometry, capacities); jit-compiled
-    on first call.  Mono residuals only — stereo setups keep the unfused
-    path (their pose opt carries u_right observations)."""
+    on first call.
 
-    def __init__(self, cam, frontend: OrbFrontend, lm_capacity: int = 4096):
+    mode: "mono" (default), "stereo" (aux operand = right gray image;
+    extracts both views and row-matches in-program, pose LM carries
+    (u, v, u_right) stereo observations), or "rgbd" (aux operand = metric
+    depth map f32; depth sampled at keypoints on device, virtual right-u).
+    """
+
+    def __init__(self, cam, frontend: OrbFrontend, lm_capacity: int = 4096,
+                 mode: str = "mono"):
+        assert mode in ("mono", "stereo", "rgbd"), mode
         self.cam = cam
         self.frontend = frontend
         self.lm_capacity = lm_capacity
+        self.mode = mode
         self.prev_capacity = frontend.capacity
         self.num_levels = frontend.num_levels
         sf = frontend.scale_factor
@@ -80,12 +90,14 @@ class TrackStep:
             [sf**l for l in range(self.num_levels)], jnp.float32)
         self.sigma2 = self.scale_factors**2
         self.log_scale = float(np.log(sf))
-        self._pose_core = make_pose_optimizer(cam, stereo=False, jit=False)
+        self._pose_core = make_pose_optimizer(
+            cam, stereo=mode != "mono", jit=False)
         self.step = jax.jit(self._impl)
 
     def _impl(self, image_u8, mask, T_pred,
               prev_pos, prev_desc_u32, prev_valid, prev_level,
-              loc_pos, loc_desc, loc_valid, loc_maxd, loc_prev_slot):
+              loc_pos, loc_desc, loc_valid, loc_maxd, loc_prev_slot,
+              aux=None):
         from ..ops import orb
         cam = self.cam
         P = self.prev_capacity
@@ -97,6 +109,31 @@ class TrackStep:
         brg = cam.keypoints_to_bearings(kp.xy)
         K = kp.xy.shape[0]
         sig2 = self.sigma2[jnp.clip(kp.level, 0, self.num_levels - 1)]
+
+        # stereo/RGBD: per-keypoint right-u + depth, in-program
+        x_right = jnp.full((K,), -1.0, jnp.float32)
+        depth = jnp.full((K,), -1.0, jnp.float32)
+        if self.mode == "stereo":
+            from ..ops.stereo import stereo_match
+            kp_r = self.frontend._extract_impl(aux, None)
+            x_right, depth = stereo_match(
+                kp.desc_i8, kp.xy, kp.valid, kp.level,
+                kp_r.desc_i8, kp_r.xy, kp_r.valid, kp_r.level,
+                jnp.float32(cam.focal_x_baseline),
+            )
+        elif self.mode == "rgbd":
+            u = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0,
+                         cam.cols - 1)
+            v = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0,
+                         cam.rows - 1)
+            z = aux[v, u]
+            ok_z = (z > 1e-3) & jnp.isfinite(z) & kp.valid
+            depth = jnp.where(ok_z, z, -1.0)
+            x_right = jnp.where(
+                ok_z,
+                kp.xy[:, 0] - cam.focal_x_baseline / jnp.maximum(z, 1e-6),
+                -1.0,
+            )
 
         # ---- stage 1: motion-model match (radius 7 -> widen to 14) -------
         def motion_match(radius):
@@ -117,9 +154,13 @@ class TrackStep:
         kp_lm1 = jnp.full((K,), -1, jnp.int32).at[kpt1].set(
             jnp.arange(P, dtype=jnp.int32), mode="drop")
 
+        # stereo modes: (u, v, u_right) observations (u_right<0 = mono obs)
+        obs = und if self.mode == "mono" else jnp.concatenate(
+            [und, x_right[:, None]], 1)
+
         has1 = kp_lm1 >= 0
         X1 = prev_pos[jnp.clip(kp_lm1, 0)]
-        res1 = self._pose_core(T_pred, X1, und, sig2, has1)
+        res1 = self._pose_core(T_pred, X1, obs, sig2, has1)
         # drop outlier associations before the local-map search (host parity)
         kp_lm1 = jnp.where(res1.inliers, kp_lm1, -1)
         prev_matched = jnp.zeros((P,), bool).at[
@@ -155,12 +196,13 @@ class TrackStep:
             prev_pos[jnp.clip(kp_src, 0, P - 1)],
             loc_pos[jnp.clip(kp_src - P, 0, L - 1)],
         )
-        res2 = self._pose_core(res1.T_cw, Xc, und, sig2, kp_src >= 0)
+        res2 = self._pose_core(res1.T_cw, Xc, obs, sig2, kp_src >= 0)
 
         return TrackStepResult(
             kp_xy=kp.xy, kp_und=und, kp_bearing=brg, kp_level=kp.level,
             kp_angle=kp.angle, kp_response=kp.response,
             kp_desc_u32=kp.desc_u32, kp_valid=kp.valid,
+            kp_x_right=x_right, kp_depth=depth,
             kp_src=kp_src, kp_inlier=res2.inliers,
             n_stage1=res1.num_inliers,
             T_cw=res2.T_cw, num_inliers=res2.num_inliers,

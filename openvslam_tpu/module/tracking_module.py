@@ -346,7 +346,7 @@ class TrackingModule:
     # fused tracking path (models.track_step): one device call per frame
     # ------------------------------------------------------------------
     def track_fused(self, image_u8, frame_id: int, timestamp: float,
-                    step, mask=None) -> Optional[np.ndarray]:
+                    step, mask=None, aux=None) -> Optional[np.ndarray]:
         """Drive one frame through the fused TrackStep.  Preconditions:
         state == TRACKING with a last frame (the caller falls back to the
         classic path otherwise).  Returns (pose or None, Frame)."""
@@ -389,7 +389,7 @@ class TrackingModule:
             jnp.asarray(prev_pos), jnp.asarray(prev_desc),
             jnp.asarray(prev_valid), jnp.asarray(prev_level),
             cache["pos"], cache["desc"], cache["valid"], cache["maxd"],
-            jnp.asarray(loc_prev_slot),
+            jnp.asarray(loc_prev_slot), aux,
         )
         res = jax.device_get(res)   # one transfer for the whole SoA
         from ..models.track_step import unpack_bits_host
@@ -400,8 +400,8 @@ class TrackingModule:
             desc_u32=res.kp_desc_u32,
             desc_i8=unpack_bits_host(res.kp_desc_u32, res.kp_valid),
             valid=res.kp_valid,
-            x_right=np.full(res.kp_xy.shape[0], -1.0, np.float32),
-            depth=np.full(res.kp_xy.shape[0], -1.0, np.float32),
+            x_right=res.kp_x_right.astype(np.float32),
+            depth=res.kp_depth.astype(np.float32),
             lm_idx=np.full(res.kp_xy.shape[0], -1, np.int32),
             outlier=np.zeros(res.kp_xy.shape[0], bool),
         )

@@ -104,12 +104,13 @@ class System:
         # path; OPENVSLAM_TPU_FUSED=0 forces the unfused module calls)
         import os
         self._track_step = None
-        if (os.environ.get("OPENVSLAM_TPU_FUSED", "1") != "0"
-                and self.cam.setup == SetupType.MONOCULAR):
+        if os.environ.get("OPENVSLAM_TPU_FUSED", "1") != "0":
             from .models.track_step import TrackStep
+            mode = {SetupType.MONOCULAR: "mono", SetupType.STEREO: "stereo",
+                    SetupType.RGBD: "rgbd"}.get(self.cam.setup, "mono")
             self._track_step = TrackStep(
                 self.cam, self.frontend,
-                lm_capacity=TrackingModule.LOCAL_LM_CAP,
+                lm_capacity=TrackingModule.LOCAL_LM_CAP, mode=mode,
             )
         self.frame_id = 0
         self._fused_frames = 0
@@ -199,6 +200,17 @@ class System:
         self.trajectory.clear()
 
     # ------------------------------------------------------------------
+    def _use_fused(self) -> bool:
+        """The fused TrackStep covers the common TRACKING path; every other
+        state (init, Lost, reloc) takes the classic module ladder."""
+        tr = self.tracker
+        return (
+            self._track_step is not None
+            and tr.state == TrackerState.TRACKING
+            and tr.last_frame is not None
+            and tr.last_frame.pose_cw is not None
+        )
+
     def feed_monocular_frame(self, image: np.ndarray, timestamp: float,
                              mask: Optional[np.ndarray] = None):
         """image: (rows, cols) uint8 grayscale or (rows, cols, 3) color.
@@ -208,14 +220,8 @@ class System:
         mask_j = None if mask is None else jnp.asarray(mask, jnp.float32)
         import time as _time
         tr = self.tracker
-        use_fused = (
-            self._track_step is not None
-            and tr.state == TrackerState.TRACKING
-            and tr.last_frame is not None
-            and tr.last_frame.pose_cw is not None
-        )
         _t0 = _time.perf_counter()
-        if use_fused:
+        if self._use_fused():
             with self.map_lock:
                 pose, frame = tr.track_fused(
                     img, self.frame_id, timestamp, self._track_step, mask_j)
@@ -241,23 +247,32 @@ class System:
 
         l_img = self._to_gray(left)
         r_img = self._to_gray(right)
-        kp_l = self.frontend.extract(jnp.asarray(l_img),
-                                     None if mask is None else jnp.asarray(mask, jnp.float32))
-        kp_r = self.frontend.extract(jnp.asarray(r_img))
-        xr, depth = stereo_match(
-            kp_l.desc_i8, kp_l.xy, kp_l.valid, kp_l.level,
-            kp_r.desc_i8, kp_r.xy, kp_r.valid, kp_r.level,
-            jnp.float32(self.cam.focal_x_baseline),
-        )
-        frame = Frame.from_keypoints(
-            self.frame_id, timestamp, kp_l, self.cam,
-            x_right=np.asarray(xr), depth=np.asarray(depth),
-        )
-        self.frame_id += 1
+        mask_j = None if mask is None else jnp.asarray(mask, jnp.float32)
         import time as _time
+        tr = self.tracker
         _t0 = _time.perf_counter()
-        with self.map_lock:
-            pose = self.tracker.track(frame)
+        if self._use_fused():
+            with self.map_lock:
+                pose, frame = tr.track_fused(
+                    l_img, self.frame_id, timestamp, self._track_step,
+                    mask_j, aux=jnp.asarray(r_img))
+            self.frame_id += 1
+            self._fused_frames += 1
+        else:
+            kp_l = self.frontend.extract(jnp.asarray(l_img), mask_j)
+            kp_r = self.frontend.extract(jnp.asarray(r_img))
+            xr, depth = stereo_match(
+                kp_l.desc_i8, kp_l.xy, kp_l.valid, kp_l.level,
+                kp_r.desc_i8, kp_r.xy, kp_r.valid, kp_r.level,
+                jnp.float32(self.cam.focal_x_baseline),
+            )
+            frame = Frame.from_keypoints(
+                self.frame_id, timestamp, kp_l, self.cam,
+                x_right=np.asarray(xr), depth=np.asarray(depth),
+            )
+            self.frame_id += 1
+            with self.map_lock:
+                pose = tr.track(frame)
         self.track_times.append(_time.perf_counter() - _t0)
         self._publish(frame, pose, image=l_img)
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
@@ -268,26 +283,38 @@ class System:
         """RGB + registered depth map -> pose (ref system::feed_RGBD_frame).
         Depth sampled at keypoint locations; virtual right-u from depth."""
         img = self._to_gray(rgb)
-        kp = self.frontend.extract(jnp.asarray(img),
-                                   None if mask is None else jnp.asarray(mask, jnp.float32))
-        xy = np.asarray(kp.xy)
-        u = np.clip(np.round(xy[:, 0]).astype(int), 0, self.cam.cols - 1)
-        v = np.clip(np.round(xy[:, 1]).astype(int), 0, self.cam.rows - 1)
-        z = depthmap[v, u].astype(np.float32) / max(self.cfg.depthmap_factor, 1e-9)
-        valid_z = (z > 1e-3) & np.isfinite(z)
-        depth = np.where(valid_z, z, -1.0).astype(np.float32)
-        fxb = self.cam.focal_x_baseline
-        x_right = np.where(valid_z, xy[:, 0] - fxb / np.maximum(z, 1e-6), -1.0
-                           ).astype(np.float32)
-        frame = Frame.from_keypoints(
-            self.frame_id, timestamp, kp, self.cam,
-            x_right=x_right, depth=depth,
-        )
-        self.frame_id += 1
+        mask_j = None if mask is None else jnp.asarray(mask, jnp.float32)
+        z_map = (depthmap.astype(np.float32)
+                 / max(self.cfg.depthmap_factor, 1e-9))
         import time as _time
+        tr = self.tracker
         _t0 = _time.perf_counter()
-        with self.map_lock:
-            pose = self.tracker.track(frame)
+        if self._use_fused():
+            with self.map_lock:
+                pose, frame = tr.track_fused(
+                    img, self.frame_id, timestamp, self._track_step,
+                    mask_j, aux=jnp.asarray(z_map))
+            self.frame_id += 1
+            self._fused_frames += 1
+        else:
+            kp = self.frontend.extract(jnp.asarray(img), mask_j)
+            xy = np.asarray(kp.xy)
+            u = np.clip(np.round(xy[:, 0]).astype(int), 0, self.cam.cols - 1)
+            v = np.clip(np.round(xy[:, 1]).astype(int), 0, self.cam.rows - 1)
+            z = z_map[v, u]
+            valid_z = (z > 1e-3) & np.isfinite(z)
+            depth = np.where(valid_z, z, -1.0).astype(np.float32)
+            fxb = self.cam.focal_x_baseline
+            x_right = np.where(
+                valid_z, xy[:, 0] - fxb / np.maximum(z, 1e-6), -1.0
+            ).astype(np.float32)
+            frame = Frame.from_keypoints(
+                self.frame_id, timestamp, kp, self.cam,
+                x_right=x_right, depth=depth,
+            )
+            self.frame_id += 1
+            with self.map_lock:
+                pose = tr.track(frame)
         self.track_times.append(_time.perf_counter() - _t0)
         self._publish(frame, pose, image=img)
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
