@@ -112,12 +112,58 @@ class MapDatabase:
         return make_camera_from_config(self.cameras[name])
 
     # ------------------------------------------------------------------
+    # capacity growth (SURVEY.md §7 hard part #1: the map is unbounded but
+    # shapes must stay static — the HOST SoA doubles amortized-O(1); the
+    # device-side mirrors are rebuilt per query at their own fixed padding
+    # and key on `version`, so growth never triggers an XLA recompile)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _grown(a: np.ndarray, extra: int, fill=0) -> np.ndarray:
+        ext = np.full((extra,) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, ext])
+
+    def _ensure_kf_capacity(self, need: int = 1):
+        while self.n_kfs + need > self.max_kfs:
+            old = self.max_kfs
+            self.max_kfs *= 2
+            self.kf_valid = self._grown(self.kf_valid, old)
+            self.kf_pose_cw = self._grown(self.kf_pose_cw, old)
+            self.kf_timestamp = self._grown(self.kf_timestamp, old)
+            self.kf_src_frame = self._grown(self.kf_src_frame, old, -1)
+            self.parent = self._grown(self.parent, old, -1)
+            for name in ("kf_xy", "kf_xy_undist", "kf_bearing", "kf_level",
+                         "kf_angle", "kf_desc_u32", "kf_desc_i8",
+                         "kf_kpt_valid", "kf_x_right", "kf_depth",
+                         "kf_lm_idx", "kf_camera", "covis", "covis_ordered",
+                         "children", "loop_edges"):
+                getattr(self, name).extend([None] * old)
+
+    def _ensure_lm_capacity(self, need: int = 1):
+        while self.n_lms + need > self.max_lms:
+            old = self.max_lms
+            self.max_lms *= 2
+            self.lm_valid = self._grown(self.lm_valid, old)
+            self.lm_pos = self._grown(self.lm_pos, old)
+            self.lm_desc_u32 = self._grown(self.lm_desc_u32, old)
+            self.lm_desc_i8 = self._grown(self.lm_desc_i8, old)
+            self.lm_normal = self._grown(self.lm_normal, old)
+            self.lm_min_dist = self._grown(self.lm_min_dist, old)
+            self.lm_max_dist = self._grown(self.lm_max_dist, old)
+            self.lm_ref_kf = self._grown(self.lm_ref_kf, old, -1)
+            self.lm_first_kf = self._grown(self.lm_first_kf, old, -1)
+            self.lm_n_visible = self._grown(self.lm_n_visible, old)
+            self.lm_n_found = self._grown(self.lm_n_found, old)
+            self.lm_num_obs = self._grown(self.lm_num_obs, old)
+            self.lm_replaced_by = self._grown(self.lm_replaced_by, old, -1)
+            self.lm_obs.extend([None] * old)
+
+    # ------------------------------------------------------------------
     # keyframes
     # ------------------------------------------------------------------
     def add_keyframe(self, frame) -> int:
         self.version += 1
+        self._ensure_kf_capacity()
         kf = self.n_kfs
-        assert kf < self.max_kfs, "keyframe capacity exceeded"
         self.n_kfs += 1
         self.kf_valid[kf] = True
         self.kf_pose_cw[kf] = frame.pose_cw
@@ -193,8 +239,8 @@ class MapDatabase:
     # ------------------------------------------------------------------
     def add_landmark(self, pos, desc_u32, desc_i8, ref_kf: int) -> int:
         self.version += 1
+        self._ensure_lm_capacity()
         lm = self.n_lms
-        assert lm < self.max_lms, "landmark capacity exceeded"
         self.n_lms += 1
         self.lm_valid[lm] = True
         self.lm_pos[lm] = pos
@@ -379,8 +425,8 @@ class MapDatabase:
         lm_map: Dict[int, int] = {}
         for kf in other.valid_kf_ids():
             kf = int(kf)
+            self._ensure_kf_capacity()
             new = self.n_kfs
-            assert new < self.max_kfs
             self.n_kfs += 1
             self.kf_valid[new] = True
             self.kf_pose_cw[new] = other.kf_pose_cw[kf]

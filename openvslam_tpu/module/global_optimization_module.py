@@ -36,7 +36,10 @@ class GlobalOptimizationModule:
         self.loop_detector = LoopDetector(cfg, cam, map_db, self.bow_db, fix_scale)
         self.stereo = cam.setup != SetupType.MONOCULAR
         self.relocalizer = Relocalizer(cfg, cam, map_db, self.bow_db)
-        self.pose_graph_opt = make_pose_graph_optimizer(iters=20, cg_iters=60)
+        # metric (stereo/RGBD) maps lock every vertex's Sim3 scale in the
+        # pose graph, as the reference's graph_optimizer does via fix_scale
+        self.pose_graph_opt = make_pose_graph_optimizer(
+            iters=20, cg_iters=60, fix_scale=fix_scale)
         self.num_loops_closed = 0
         self.abort_global_ba = False
         self.last_loop_kf = -1

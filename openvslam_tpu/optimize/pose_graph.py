@@ -39,12 +39,21 @@ class PoseGraphProblem(NamedTuple):
     e_mask: jnp.ndarray   # (E,) bool
 
 
-def make_pose_graph_optimizer(iters: int = 20, cg_iters: int = 50):
+def make_pose_graph_optimizer(iters: int = 20, cg_iters: int = 50,
+                              fix_scale: bool = False):
+    """fix_scale: lock the Sim3 scale of EVERY vertex (ref graph_optimizer
+    sets fix_scale on stereo/RGBD maps — metric sensors leave no scale
+    freedom for the pose graph to redistribute)."""
     @jax.jit
     @geometry_precision
     def optimize(p: PoseGraphProblem):
         N = p.R.shape[0]
         free = p.node_valid & ~p.node_fixed
+        # per-coordinate update projection: fixed nodes contribute nothing;
+        # with fix_scale the sigma tangent coordinate (index 6) is frozen
+        coord = jnp.ones(7, p.R.dtype)
+        if fix_scale:
+            coord = coord.at[6].set(0.0)
 
         def edge_residual(xi_i, xi_j, Si, Sj, Sm):
             Si2 = sim3.compose(sim3.exp(xi_i), Si)
@@ -90,9 +99,14 @@ def make_pose_graph_optimizer(iters: int = 20, cg_iters: int = 50):
             Hii = Hii.at[p.e_j].add(jnp.einsum("edk,edl,e->ekl", Jj, Jj, w))
             eye7 = jnp.eye(7, dtype=R.dtype)
             Hii_d = Hii + lam * Hii * eye7 + 1e-8 * eye7
+            if fix_scale:
+                # freeze the sigma row/col in the preconditioner block
+                Pm = coord[:, None] * coord[None, :]
+                Hii_d = Hii_d * Pm + jnp.diag(1.0 - coord)
             Minv = jnp.linalg.inv(
                 jnp.where(free[:, None, None], Hii_d, eye7)
             )
+            proj = free[:, None].astype(R.dtype) * coord[None, :]
 
             def H_apply(x):                                      # (N,7)
                 yi = jnp.einsum("edk,ek->ed", Ji, x[p.e_i])
@@ -105,9 +119,9 @@ def make_pose_graph_optimizer(iters: int = 20, cg_iters: int = 50):
                 out = out + jnp.einsum(
                     "nkl,nl->nk", lam * Hii * eye7 + 1e-8 * eye7, x
                 )
-                return out * free[:, None]
+                return out * proj
 
-            rhs = -g * free[:, None]
+            rhs = -g * proj
 
             def cg_body(carry2, _):
                 x, rv, pv, rz = carry2
@@ -115,17 +129,17 @@ def make_pose_graph_optimizer(iters: int = 20, cg_iters: int = 50):
                 alpha = rz / jnp.maximum(jnp.sum(pv * Ap), 1e-12)
                 x = x + alpha * pv
                 rv = rv - alpha * Ap
-                z = jnp.einsum("nkl,nl->nk", Minv, rv) * free[:, None]
+                z = jnp.einsum("nkl,nl->nk", Minv, rv) * proj
                 rz_new = jnp.sum(rv * z)
                 beta = rz_new / jnp.maximum(rz, 1e-12)
                 return (x, rv, z + beta * pv, rz_new), None
 
-            z0 = jnp.einsum("nkl,nl->nk", Minv, rhs) * free[:, None]
+            z0 = jnp.einsum("nkl,nl->nk", Minv, rhs) * proj
             (dx, _, _, _), _ = jax.lax.scan(
                 cg_body, (jnp.zeros((N, 7), R.dtype), rhs, z0, jnp.sum(rhs * z0)),
                 None, length=cg_iters,
             )
-            dx = dx * free[:, None]
+            dx = dx * proj
             Rn, tn, sn = jax.vmap(
                 lambda xi, Ri, ti, si: sim3.compose(sim3.exp(xi), (Ri, ti, si))
             )(dx, R, t, s)

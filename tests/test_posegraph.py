@@ -132,3 +132,69 @@ def test_sim3_transform_refine(rng):
     assert np.linalg.norm(np.asarray(res.R) - R_gt) < 5e-3
     assert abs(float(res.s) - s_gt) < 5e-3
     assert int(res.num_inliers) > 115
+
+
+def test_pose_graph_fix_scale(rng):
+    """Metric (stereo/RGBD) maps: every vertex's Sim3 scale stays EXACTLY 1
+    through the optimization (ref graph_optimizer fix_scale) while the
+    rotation/translation drift still closes."""
+    n = 24
+    R_gt, t_gt, _ = _ring_of_poses(n)
+
+    # SE3-only odometry drift (metric sensors: no scale noise)
+    R_est, t_est = [R_gt[0]], [t_gt[0]]
+    for k in range(1, n):
+        g_prev = (jnp.asarray(R_gt[k - 1], jnp.float32),
+                  jnp.asarray(t_gt[k - 1], jnp.float32), jnp.float32(1.0))
+        g_cur = (jnp.asarray(R_gt[k], jnp.float32),
+                 jnp.asarray(t_gt[k], jnp.float32), jnp.float32(1.0))
+        rel = sim3.compose(g_cur, sim3.inverse(g_prev))
+        noise = jnp.asarray(np.concatenate([
+            rng.standard_normal(3) * 0.01, rng.standard_normal(3) * 0.02,
+            [0.0],
+        ]), jnp.float32)
+        g_new = sim3.compose(
+            sim3.compose(sim3.exp(noise), rel),
+            (jnp.asarray(R_est[-1], jnp.float32),
+             jnp.asarray(t_est[-1], jnp.float32), jnp.float32(1.0)))
+        R_est.append(np.asarray(g_new[0]))
+        t_est.append(np.asarray(g_new[1]))
+    R_est = np.stack(R_est).astype(np.float32)
+    t_est = np.stack(t_est).astype(np.float32)
+
+    E = n + 4
+    e_i = np.zeros(E, np.int32)
+    e_j = np.zeros(E, np.int32)
+    e_R = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+    e_t = np.zeros((E, 3), np.float32)
+    e_s = np.ones(E, np.float32)
+    e_mask = np.zeros(E, bool)
+    for k in range(n):
+        i, j = k, (k + 1) % n
+        gi = (jnp.asarray(R_gt[i], jnp.float32), jnp.asarray(t_gt[i], jnp.float32), jnp.float32(1.0))
+        gj = (jnp.asarray(R_gt[j], jnp.float32), jnp.asarray(t_gt[j], jnp.float32), jnp.float32(1.0))
+        rel = sim3.compose(gj, sim3.inverse(gi))
+        e_i[k], e_j[k] = i, j
+        e_R[k], e_t[k], e_s[k] = np.asarray(rel[0]), np.asarray(rel[1]), float(rel[2])
+        e_mask[k] = True
+
+    node_fixed = np.zeros(n, bool)
+    node_fixed[0] = True
+    prob = PoseGraphProblem(
+        jnp.asarray(R_est), jnp.asarray(t_est), jnp.ones(n),
+        jnp.ones(n, bool), jnp.asarray(node_fixed),
+        jnp.asarray(e_i), jnp.asarray(e_j),
+        jnp.asarray(e_R), jnp.asarray(e_t), jnp.asarray(e_s),
+        jnp.asarray(e_mask),
+    )
+    opt = make_pose_graph_optimizer(iters=25, cg_iters=60, fix_scale=True)
+    R_o, t_o, s_o, cost = opt(prob)
+
+    np.testing.assert_allclose(np.asarray(s_o), 1.0, atol=0)   # exactly 1
+
+    def centers(R, t):
+        return np.stack([-(R[k].T @ t[k]) for k in range(n)])
+    err_before = np.linalg.norm(centers(R_est, t_est) - centers(R_gt, t_gt), axis=-1).mean()
+    err_after = np.linalg.norm(
+        centers(np.asarray(R_o), np.asarray(t_o)) - centers(R_gt, t_gt), axis=-1).mean()
+    assert err_after < 0.05 * err_before + 1e-3, (err_before, err_after)

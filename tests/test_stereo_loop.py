@@ -1,0 +1,90 @@
+"""Organic STEREO loop closure — the KITTI-00 shape (BASELINE config #3).
+
+A metric-scale stereo drive around the octagon room must (a) close its loop
+organically (detect -> Sim3 validate with the scale LOCKED, ref
+sim3_solver fix_scale for stereo/RGBD -> correct -> pose graph -> global BA
+with stereo (u,v,u_right) edges), and (b) leave a map whose keyframes match
+ground truth under SE3 alignment only — no scale freedom, the strongest
+consistency statement the harness makes.
+
+Complements test_organic_loop (monocular, Sim3-aligned) per SURVEY.md §3.4.
+"""
+import numpy as np
+import pytest
+
+from openvslam_tpu.config import Config
+from openvslam_tpu.system import System
+from openvslam_tpu.utils import synthetic, evaluate
+
+BASELINE = 0.25  # metres
+
+
+@pytest.fixture(scope="module")
+def stereo_lap_run():
+    rows, cols = 240, 320
+    cfg = Config.from_dict({
+        "Camera": {
+            "name": "synthetic-stereo", "setup": "stereo",
+            "model": "perspective",
+            "fx": 260.0, "fy": 260.0, "cx": cols / 2, "cy": rows / 2,
+            "cols": cols, "rows": rows, "fps": 20,
+            "focal_x_baseline": 260.0 * BASELINE,
+            "depth_threshold": 40.0,
+        },
+        "Feature": {"max_num_keypts": 500, "num_levels": 3,
+                    "scale_factor": 1.2},
+        "LoopDetector": {"enabled": True, "min_continuity": 2},
+    })
+    cam = cfg.camera
+    rng = np.random.default_rng(11)
+    scene = synthetic.RoomSceneRenderer(rng, half=10.0, rows=rows, cols=cols,
+                                        n_walls=8)
+    n_frames = 200                        # 1.11 laps at 2 deg/frame
+    poses_gt = synthetic.lap_trajectory(n_frames, radius=6.0, laps=200 / 180)
+
+    shift = np.eye(4)
+    shift[0, 3] = -BASELINE               # right camera in the left frame
+
+    s = System(cfg, vocab_path="default")
+    s.startup()
+    tracked = []
+    for i in range(n_frames):
+        l_img = scene.render(cam, poses_gt[i])
+        r_img = scene.render(cam, shift @ poses_gt[i])
+        pose = s.feed_stereo_frame(l_img, r_img, i / 20.0)
+        tracked.append(pose is not None)
+    s.shutdown()
+    return s, poses_gt, np.array(tracked)
+
+
+def test_stereo_lap_tracks(stereo_lap_run):
+    s, poses_gt, tracked = stereo_lap_run
+    first = int(np.argmax(tracked))
+    assert first < 5                       # stereo initializes on frame one
+    assert tracked[first:].mean() > 0.9
+
+
+def test_stereo_loop_closed_organically(stereo_lap_run):
+    s, *_ = stereo_lap_run
+    assert s.global_optimizer.num_loops_closed >= 1
+    db = s.map_db
+    assert any(db.loop_edges[int(k)] for k in db.valid_kf_ids())
+
+
+def test_stereo_lap_metric_consistent(stereo_lap_run):
+    """SE3-aligned (metric) keyframe ATE after loop correction: the locked
+    Sim3 scale + stereo BA edges must keep the lap metric end to end."""
+    s, poses_gt, tracked = stereo_lap_run
+    db = s.map_db
+    ids = db.valid_kf_ids()
+    ek = np.stack([
+        -db.kf_pose_cw[k][:3, :3].T @ db.kf_pose_cw[k][:3, 3] for k in ids
+    ])
+    gk = np.stack([
+        -poses_gt[f][:3, :3].T @ poses_gt[f][:3, 3]
+        for f in db.kf_src_frame[ids]
+    ])
+    ate = evaluate.ate_rmse(ek, gk, align="se3")
+    assert ate < 0.25, f"metric KF ATE {ate:.3f} m over the 37.7 m lap"
+    for k in ids:
+        assert np.isfinite(db.kf_pose_cw[int(k)]).all()
