@@ -77,11 +77,9 @@ class FrameStep:
         vis = vis & lm_valid
         lvl = jnp.clip(lm_pred_level, 0, self.num_levels - 1)
         radius = 7.0 * self.scale_factors[lvl]
-        gate = M.projection_gate(uv, vis, und, radius)
-        sgate = jnp.abs(kp.level[None, :] - lm_pred_level[:, None]) <= 1
-        gate = gate & (sgate | (lm_pred_level < 0)[:, None])
-        idx, dist = M.match_descriptors(
-            lm_desc_i8, kp.desc_i8, vis, kp.valid, gate=gate,
+        idx, dist = M.projection_scale_match(
+            lm_desc_i8, kp.desc_i8, uv, vis, radius, lm_pred_level,
+            und, kp.level, kp.valid,
             max_dist=M.HAMMING_DIST_THR_HIGH, ratio=0.9, cross_check=True,
         )
         matched = idx >= 0

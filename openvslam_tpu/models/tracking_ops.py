@@ -41,12 +41,9 @@ def match_landmarks_by_projection(
     uv, depth, vis = project_landmarks(cam, T_cw, lm_pos, lm_valid)
     lvl = jnp.clip(lm_pred_level, 0, scale_factors.shape[0] - 1)
     radius = radius_scale * scale_factors[lvl]
-    gate = M.projection_gate(uv, vis, kpt_xy_undist, radius)
-    has_scale = lm_pred_level >= 0
-    sgate = jnp.abs(kpt_level[None, :] - lm_pred_level[:, None]) <= 1
-    gate = gate & (sgate | ~has_scale[:, None])
-    idx, dist = M.match_descriptors(
-        lm_desc_i8, kpt_desc_i8, vis, kpt_valid, gate=gate,
+    idx, dist = M.projection_scale_match(
+        lm_desc_i8, kpt_desc_i8, uv, vis, radius, lm_pred_level,
+        kpt_xy_undist, kpt_level, kpt_valid,
         max_dist=max_dist, ratio=ratio, cross_check=True,
     )
     return idx, dist, vis
@@ -120,11 +117,9 @@ def fuse_candidates(
     uv, depth, vis = project_landmarks(cam, T_cw, lm_pos, lm_valid)
     lvl = jnp.clip(lm_pred_level, 0, scale_factors.shape[0] - 1)
     radius = radius_scale * scale_factors[lvl]
-    gate = M.projection_gate(uv, vis, kpt_xy_undist, radius)
-    sgate = jnp.abs(kpt_level[None, :] - lm_pred_level[:, None]) <= 1
-    gate = gate & (sgate | (lm_pred_level < 0)[:, None])
-    idx, dist = M.match_descriptors(
-        lm_desc_i8, kpt_desc_i8, vis, kpt_valid, gate=gate,
+    idx, dist = M.projection_scale_match(
+        lm_desc_i8, kpt_desc_i8, uv, vis, radius, lm_pred_level,
+        kpt_xy_undist, kpt_level, kpt_valid,
         max_dist=max_dist, ratio=None, cross_check=False,
     )
     return idx, dist

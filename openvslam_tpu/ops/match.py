@@ -125,6 +125,51 @@ def scale_gate(level_a: jnp.ndarray, level_b: jnp.ndarray, tol: int = 1) -> jnp.
     return jnp.abs(level_a[:, None] - level_b[None, :]) <= tol
 
 
+def _use_pallas_match() -> bool:
+    """Fused Pallas projection matcher on accelerators (exact vs the XLA
+    composition, tests/test_pallas_match.py); XLA everywhere else.  Opt out
+    with OPENVSLAM_TPU_PALLAS_MATCH=0."""
+    import os
+
+    if os.environ.get("OPENVSLAM_TPU_PALLAS_MATCH", "") == "0":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def projection_scale_match(
+    a_desc_i8, b_desc_i8, uv, vis, radius, pred_level,
+    b_xy, b_level, b_valid,
+    max_dist: int = HAMMING_DIST_THR_HIGH,
+    ratio=None, cross_check: bool = True,
+):
+    """Projection-radius + octave gated matcher — THE guided-search matcher of
+    the tracking/fuse hot path (ref match::projection, match::fuse).
+
+    Dispatches to the fused Pallas kernel on accelerator backends (one VMEM
+    pass instead of ~10 HBM passes over the (L,K) intermediates); falls back
+    to the XLA gate+match composition on CPU.  Both paths are bit-identical.
+
+    uv/vis: projected landmark pixel positions and their validity (already
+    ANDed with landmark validity).  pred_level < 0 disables the octave gate
+    for that row.  Returns (idx_b (L,) int32 [-1 unmatched], dist (L,)).
+    """
+    if _use_pallas_match():
+        from .pallas.match_kernel import projection_match_pallas
+
+        return projection_match_pallas(
+            a_desc_i8, b_desc_i8, uv, vis, radius, pred_level,
+            b_xy, b_level, b_valid,
+            max_dist=max_dist, ratio=ratio, cross_check=cross_check,
+        )
+    gate = projection_gate(uv, vis, b_xy, radius)
+    sgate = jnp.abs(b_level[None, :] - pred_level[:, None]) <= 1
+    gate = gate & (sgate | (pred_level < 0)[:, None])
+    return match_descriptors(
+        a_desc_i8, b_desc_i8, vis, b_valid, gate=gate,
+        max_dist=max_dist, ratio=ratio, cross_check=cross_check,
+    )
+
+
 def epipolar_gate(
     bearings_a: jnp.ndarray, bearings_b: jnp.ndarray, E_ab: jnp.ndarray,
     thr: float = 2e-3,
