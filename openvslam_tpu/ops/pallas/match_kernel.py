@@ -81,8 +81,16 @@ def _match_kernel(a_desc_ref, b_desc_ref, a_meta_ref, b_meta_ref,
     row_ref[:] = jnp.concatenate(
         [best, second, jnp.zeros((tile_l, 6), jnp.int32)], axis=1)
 
+    # column minimum for the cross-check, accumulated across the sequential
+    # grid into one persistent (8, k) VMEM block (TPU requires sublane>=8;
+    # only row 0 carries data)
+    @pl.when(i == 0)
+    def _init():
+        col_ref[:] = jnp.full((8, k), jnp.iinfo(jnp.int32).max, jnp.int32)
+
     rows = i * tile_l + jax.lax.broadcasted_iota(jnp.int32, (tile_l, k), 0)
-    col_ref[0:1, :] = jnp.min(d * row_mul + rows, axis=0, keepdims=True)
+    colmin = jnp.min(d * row_mul + rows, axis=0, keepdims=True)
+    col_ref[0:1, :] = jnp.minimum(col_ref[0:1, :], colmin)
 
 
 @functools.partial(
@@ -151,12 +159,12 @@ def projection_match_pallas(
         out_specs=[
             pl.BlockSpec((tile_l, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Kp), lambda i: (i, 0),
+            pl.BlockSpec((8, Kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Lp, 8), jnp.int32),
-            jax.ShapeDtypeStruct((Lp // tile_l, Kp), jnp.int32),
+            jax.ShapeDtypeStruct((8, Kp), jnp.int32),
         ],
         interpret=interpret,
     )(a_desc, b_desc, a_meta, b_meta)
@@ -169,7 +177,6 @@ def projection_match_pallas(
     if ratio is not None:
         ok &= best_d.astype(jnp.float32) <= ratio * second_d.astype(jnp.float32)
     if cross_check:
-        col_min = jnp.min(col_out, axis=0)                   # (Kp,)
-        col_row = (col_min % row_mul)[:K]
+        col_row = (col_out[0] % row_mul)[:K]
         ok &= col_row[best_i] == jnp.arange(L)
     return jnp.where(ok, best_i, -1), jnp.where(ok, best_d, M.LARGE)
