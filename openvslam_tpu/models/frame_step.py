@@ -17,8 +17,7 @@ import numpy as np
 
 from ..ops import match as M
 from ..ops import se3
-from ..ops.precision import geometry_precision
-from ..optimize import residuals as R
+from ..optimize.pose_optimizer import make_pose_optimizer
 from .frontend import OrbFrontend, Keypoints
 
 
@@ -51,6 +50,10 @@ class FrameStep:
         self.sigma2 = self.scale_factors**2
         self.opt_rounds = opt_rounds
         self.iters_per_round = iters_per_round
+        self._pose_core = make_pose_optimizer(
+            cam, stereo=False, num_rounds=opt_rounds,
+            iters_per_round=iters_per_round, jit=False,
+        )
         self.step = jax.jit(self._step_impl)
 
     def example_args(self, seed=0):
@@ -85,67 +88,10 @@ class FrameStep:
         matched = idx >= 0
         kpt = jnp.clip(idx, 0)
 
-        # --- pose-only LM over the matched landmark set ---
+        # --- pose-only LM over the matched landmark set (shared core; the
+        # core pins its J^T J accumulation to full f32 via ops.precision) ---
         obs_uv = und[kpt]
         obs_sig = self.sigma2[jnp.clip(kp.level[kpt], 0, self.num_levels - 1)]
-        res_fn = R.make_mono_residual(cam)
-        inv_s2 = 1.0 / jnp.maximum(obs_sig, 1e-12)
-        chi2_thr = R.CHI2_2D
-
-        def resid_all(T):
-            r, ok = jax.vmap(res_fn, in_axes=(None, 0, 0))(T, lm_pos, obs_uv)
-            return r, ok
-
-        def jac_all(T):
-            def r_of_xi(xi, Xi, oi):
-                r, _ = res_fn(R.perturb_pose(xi, T), Xi, oi)
-                return r
-            return jax.vmap(jax.jacfwd(r_of_xi), in_axes=(None, 0, 0))(
-                jnp.zeros(6, T_pred.dtype), lm_pos, obs_uv
-            )
-
-        def rho(c):
-            return jnp.where(c <= chi2_thr, c,
-                             2.0 * jnp.sqrt(chi2_thr * jnp.maximum(c, 0.0)) - chi2_thr)
-
-        def lm_round(carry, _):
-            T, active = carry
-
-            def lm_iter(carry2, _):
-                T, lam = carry2
-                r, ok = resid_all(T)
-                c2 = jnp.sum(r * r, -1) * inv_s2
-                w = R.huber_weight(c2, chi2_thr) * inv_s2 * (active & ok)
-                J = jac_all(T)
-                H = jnp.einsum("ndi,ndj,n->ij", J, J, w)
-                grad = jnp.einsum("ndi,nd,n->i", J, r, w)
-                Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
-                dx = -jnp.linalg.solve(Hd, grad)
-                T_new = R.perturb_pose(dx, T)
-                r2, ok2 = resid_all(T_new)
-                c2n = jnp.sum(r2 * r2, -1) * inv_s2
-                msk = active.astype(T.dtype)
-                c_new = jnp.sum(rho(c2n) * msk * ok2)
-                c_old = jnp.sum(rho(c2) * msk * ok)
-                accept = c_new < c_old
-                return (jnp.where(accept, T_new, T),
-                        jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)), None
-
-            (T, _), _ = jax.lax.scan(
-                lm_iter, (T, jnp.float32(1e-3)), None, length=self.iters_per_round
-            )
-            r, ok = resid_all(T)
-            c2 = jnp.sum(r * r, -1) * inv_s2
-            return (T, matched & ok & (c2 < chi2_thr)), None
-
-        # the LM core accumulates J^T J over all observations — pin it to
-        # full f32 (ops.precision); extraction/matching above stay one-pass
-        @geometry_precision
-        def run_lm(T0):
-            return jax.lax.scan(
-                lm_round, (T0, matched), None, length=self.opt_rounds
-            )[0]
-
-        T_fin, active = run_lm(T_pred)
-        n_inl = jnp.sum(active.astype(jnp.int32))
-        return FrameStepResult(T_fin, n_inl, kp.xy, kp.valid, idx, kp.desc_u32)
+        res = self._pose_core(T_pred, lm_pos, obs_uv, obs_sig, matched)
+        return FrameStepResult(res.T_cw, res.num_inliers, kp.xy, kp.valid,
+                               idx, kp.desc_u32)

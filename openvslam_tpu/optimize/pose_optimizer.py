@@ -43,14 +43,17 @@ def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
         r, ok = jax.vmap(res_fn, in_axes=(None, 0, 0))(T, X, obs)
         return r, ok
 
-    def jac_all(T, X, obs):
+    def jac_resid_all(T, X, obs):
+        # one forward-mode pass yields J AND the residual at T (has_aux) —
+        # the LM body is latency-bound on TPU, so every eliminated vmap pass
+        # over the N observations counts
         def r_of_xi(xi, Xi, oi):
-            r, _ = res_fn(R.perturb_pose(xi, T), Xi, oi)
-            return r
-        J = jax.vmap(jax.jacfwd(r_of_xi), in_axes=(None, 0, 0))(
-            jnp.zeros(6, T.dtype), X, obs
-        )
-        return J  # (N, d, 6)
+            r, ok = res_fn(R.perturb_pose(xi, T), Xi, oi)
+            return r, (r, ok)
+        J, (r, ok) = jax.vmap(
+            jax.jacfwd(r_of_xi, has_aux=True), in_axes=(None, 0, 0)
+        )(jnp.zeros(6, T.dtype), X, obs)
+        return J, r, ok  # (N,d,6), (N,d), (N,)
 
     @geometry_precision
     def optimize(T_init, X_w, obs, sigma2, mask):
@@ -66,13 +69,16 @@ def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
 
             def lm_iter(carry2, _):
                 T, lam, cost_prev = carry2
-                r, ok = resid_all(T, X_w, obs)
+                J, r, ok = jac_resid_all(T, X_w, obs)          # (N,d,6),(N,d)
                 c2 = jnp.sum(r * r, -1) * inv_s2
                 w_rob = R.huber_weight(c2, chi2_thr)
                 w = w_rob * inv_s2 * (active & ok & mask)
-                J = jac_all(T, X_w, obs)                       # (N,d,6)
-                H = jnp.einsum("ndi,ndj,n->ij", J, J, w)
-                grad = jnp.einsum("ndi,nd,n->i", J, r, w)
+                # augmented normal equations in ONE contraction:
+                # G = [J r]^T W [J r]  ->  H = G[:6,:6], J^T W r = G[:6,6]
+                A = jnp.concatenate([J, r[:, :, None]], axis=2)  # (N,d,7)
+                G = jnp.einsum("nda,ndb,n->ab", A, A, w)
+                H = G[:6, :6]
+                grad = G[:6, 6]
                 Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
                 dx = -jnp.linalg.solve(Hd, grad)
                 T_new = R.perturb_pose(dx, T)
