@@ -78,9 +78,11 @@ class OrbFrontend:
 
     @functools.partial(jax.jit, static_argnums=0)
     def _extract_impl(self, image_u8, mask):
+        impl = orb.brief_impl_name()
         img = image_u8.astype(jnp.float32)
         levels = pyramid.build_pyramid(img, self.num_levels, self.scale_factor)
         xs, rs, ls, ans, descs, vs = [], [], [], [], [], []
+        patches, fxs, fys = [], [], []
         for l, (lvl_img, budget) in enumerate(zip(levels, self.budgets)):
             lvl_mask = None
             if mask is not None:
@@ -90,25 +92,43 @@ class OrbFrontend:
                 cell=self.cell, mask=lvl_mask,
             )
             blurred = pyramid.gaussian_blur(lvl_img)
-            if orb.brief_impl_name() == "mxu":
+            if impl == "mxu2":
+                # batched-levels path: only the zero-gather (budget, 31, 31)
+                # patch extraction happens per level; orientation +
+                # description run ONCE over the concatenated patches below
+                # (ops.orb.describe_patches)
+                p, fx, fy = orb.extract_patches_onehot(blurred, xy)
+                patches.append(p)
+                fxs.append(fx)
+                fys.append(fy)
+            elif impl == "mxu":
                 # fused zero-gather path: orientation + descriptors from one
                 # patch extraction (see ops.orb.describe_mxu)
                 d_u32, ang = orb.describe_mxu(blurred, xy)
+                ans.append(ang)
+                descs.append(d_u32)
             else:
                 ang = orb.ic_angles(lvl_img, xy)
                 d_u32 = orb.brief_descriptors(blurred, xy, ang)
+                ans.append(ang)
+                descs.append(d_u32)
             xs.append(xy * self.scales[l])
             rs.append(resp)
             ls.append(jnp.full(budget, l, jnp.int32))
-            ans.append(ang)
-            descs.append(d_u32)
             vs.append(valid)
         xy = jnp.concatenate(xs, 0)
         resp = jnp.concatenate(rs, 0)
         lvl = jnp.concatenate(ls, 0)
-        ang = jnp.concatenate(ans, 0)
-        d32 = jnp.concatenate(descs, 0)
         valid = jnp.concatenate(vs, 0)
+        if impl == "mxu2":
+            d32, ang = orb.describe_patches(
+                jnp.concatenate(patches, 0),
+                jnp.concatenate(fxs, 0),
+                jnp.concatenate(fys, 0),
+            )
+        else:
+            ang = jnp.concatenate(ans, 0)
+            d32 = jnp.concatenate(descs, 0)
         d8 = orb.unpack_bits_i8(d32)
         # zero out invalid descriptors so matmuls can't produce spurious hits
         d8 = jnp.where(valid[:, None], d8, 0)

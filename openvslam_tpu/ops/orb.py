@@ -212,59 +212,79 @@ def brief_descriptors_patch(
     return _pack_bits(bits)
 
 
+def extract_patches_onehot(img_blurred: jnp.ndarray, xy: jnp.ndarray,
+                           radius: int = PATCH_RADIUS):
+    """Per-keypoint (d,d) patches with ZERO scattered gathers: one contiguous
+    row gather + a column one-hot matmul on the MXU.
+
+    TPU gathers run at ~15M scalar loads/s — direct per-pixel patch gathers
+    cost ~35 ms/frame; a vmapped dynamic_slice is also scalarized (measured
+    +0.7 ms, tools/tpu_measure7.py).  The one-hot contraction formulation is
+    the fast path.  Returns (patches (N,d,d) f32, fx (N,), fy (N,)) with
+    fx/fy the fractional offsets from the clamped patch centre.
+    """
+    r = radius
+    d = 2 * r + 1
+    h, w = img_blurred.shape
+    bf = jnp.bfloat16
+    x0 = jnp.clip(jnp.round(xy[:, 0]), r, w - r - 1)
+    y0 = jnp.clip(jnp.round(xy[:, 1]), r, h - r - 1)
+    offs = jnp.arange(-r, r + 1, dtype=jnp.int32)
+    rows = img_blurred[y0.astype(jnp.int32)[:, None] + offs[None, :], :]  # (N,d,W)
+    cols = x0.astype(jnp.int32)[:, None] + offs[None, :]                   # (N,d)
+    oh_c = (cols[:, None, :] == jnp.arange(w, dtype=jnp.int32)[None, :, None])
+    patches = jax.lax.dot_general(
+        rows.astype(bf), oh_c.astype(bf),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                                      # (N,d,d)
+    return patches, xy[:, 0] - x0, xy[:, 1] - y0
+
+
 def describe_mxu(img_blurred: jnp.ndarray, xy: jnp.ndarray):
-    """Orientation + steered BRIEF with ZERO scattered gathers: everything is
-    one contiguous row gather plus one-hot selection matmuls on the MXU.
+    """Orientation + steered BRIEF with zero scattered gathers — one-hot
+    patch extraction (extract_patches_onehot) + one-hot selection sampling
+    (describe_patches).  Returns (desc_u32 (N,8), angles (N,))."""
+    patches, fx, fy = extract_patches_onehot(img_blurred, xy)
+    return describe_patches(patches, fx, fy)
 
-    TPU gathers run at ~15M scalar loads/s — the ~0.5M loads/frame of the
-    direct formulation cost ~35 ms.  Reformulated as batched one-hot
-    contractions (~4 GFLOP bf16) the same work is MXU-bound:
 
-      1. patches  = rows[kpt] x onehot(cols)           (N,d,W)@(N,W,d)
-      2. m10/m01  = patch x ramp weights               (square IC moments)
-      3. sampling = onehot(y) x patch x onehot(x)      per-test bilinear-free
-                    selection, separable over the two patch axes
+def brief_descriptors_mxu(img_blurred, xy, angles_unused=None):
+    return describe_mxu(img_blurred, xy)[0]
 
+
+def describe_patches(patches: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray):
+    """Orientation + steered BRIEF from pre-extracted (N,d,d) patches —
+    the batched-levels describe stage (impl "mxu2").
+
+    Square IC moments give the orientation; the rotated test pattern is
+    sampled by separable one-hot selection contractions (no gathers).  The
+    frontend's "mxu2" mode calls this ONCE over all pyramid levels'
+    concatenated patches — the per-level formulation dispatches ~15 small
+    ops x8 levels whose launch latency dominates (measured 1.86 ms of the
+    1.91 ms extraction, tools/tpu_measure6.py).
     Returns (desc_u32 (N,8), angles (N,)).
     """
     r = PATCH_RADIUS
     d = 2 * r + 1
-    h, w = img_blurred.shape
-    n = xy.shape[0]
+    n = patches.shape[0]
     bf = jnp.bfloat16
+    patch = patches.astype(jnp.float32)
 
-    x0 = jnp.clip(jnp.round(xy[:, 0]), r, w - r - 1)
-    y0 = jnp.clip(jnp.round(xy[:, 1]), r, h - r - 1)
-    fx = (xy[:, 0] - x0)[:, None, None]
-    fy = (xy[:, 1] - y0)[:, None, None]
-    offs = jnp.arange(-r, r + 1, dtype=jnp.int32)
-
-    # 1. patch extraction: contiguous row gather + column one-hot matmul
-    rows = img_blurred[y0.astype(jnp.int32)[:, None] + offs[None, :], :]  # (N,d,W)
-    cols = x0.astype(jnp.int32)[:, None] + offs[None, :]                   # (N,d)
-    oh_c = (cols[:, None, :] == jnp.arange(w, dtype=jnp.int32)[None, :, None])
-    patch = jax.lax.dot_general(
-        rows.astype(bf), oh_c.astype(bf),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                                       # (N,d,d)
-
-    # 2. IC orientation from the same patch (square moments, as ic_moment_maps)
-    ramp = offs.astype(jnp.float32)
+    ramp = jnp.arange(-r, r + 1, dtype=jnp.float32)
     m10 = jnp.einsum("nrc,c->n", patch, ramp)
     m01 = jnp.einsum("nrc,r->n", patch, ramp)
     angles = jnp.arctan2(m01, m10)
 
-    # 3. steered BRIEF sampling via separable one-hot selection
     c = jnp.cos(angles)
     s = jnp.sin(angles)
     px = BRIEF_PATTERN[None, :, :, 0]
     py = BRIEF_PATTERN[None, :, :, 1]
     rx = c[:, None, None] * px - s[:, None, None] * py
     ry = s[:, None, None] * px + c[:, None, None] * py
-    xi = jnp.clip(jnp.round(rx + fx).astype(jnp.int32) + r, 0, d - 1)
-    yi = jnp.clip(jnp.round(ry + fy).astype(jnp.int32) + r, 0, d - 1)
-    xi = xi.reshape(n, -1)                                                  # (N,512)
+    xi = jnp.clip(jnp.round(rx + fx[:, None, None]).astype(jnp.int32) + r, 0, d - 1)
+    yi = jnp.clip(jnp.round(ry + fy[:, None, None]).astype(jnp.int32) + r, 0, d - 1)
+    xi = xi.reshape(n, -1)                                   # (N,512)
     yi = yi.reshape(n, -1)
     oh_y = (yi[:, :, None] == jnp.arange(d, dtype=jnp.int32)[None, None, :])
     oh_x = (xi[:, :, None] == jnp.arange(d, dtype=jnp.int32)[None, None, :])
@@ -272,47 +292,43 @@ def describe_mxu(img_blurred: jnp.ndarray, xy: jnp.ndarray):
         oh_y.astype(bf), patch.astype(bf),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                                                       # (N,512,d)
-    vals = jnp.sum(tmp * oh_x.astype(jnp.float32), axis=-1)                 # (N,512)
+    )                                                        # (N,512,d)
+    vals = jnp.sum(tmp * oh_x.astype(jnp.float32), axis=-1)  # (N,512)
     vals = vals.reshape(n, DESC_BITS, 2)
     bits = vals[..., 0] < vals[..., 1]
     return _pack_bits(bits), angles
 
 
-def brief_descriptors_mxu(img_blurred, xy, angles_unused=None):
-    return describe_mxu(img_blurred, xy)[0]
-
-
 # Implementation choice, overridable for A/B measurement via
-# OPENVSLAM_TPU_BRIEF=gather|patch|mxu.  Unset -> backend-dependent default:
-# mxu on TPU (one-hot MXU contractions beat scattered gathers ~4x: 9.3 ms vs
-# 38 ms per 480x640 frame step, NOTES.md r1), gather on CPU (native gathers
-# are fast there and the one-hot matmuls are not).
+# OPENVSLAM_TPU_BRIEF=gather|patch|mxu|mxu2.  Unset -> backend-dependent
+# default: mxu on TPU, gather on CPU (native gathers are fast there, one-hot
+# matmuls are not).  mxu2 batches the describe stage across pyramid levels —
+# measured NEUTRAL-to-slightly-slower than per-level mxu on v5e (2.00 vs
+# 1.87 ms extract, tools/tpu_measure8.py): the describe stage is
+# throughput-bound on its one-hot intermediates, not launch-latency-bound,
+# so batching the 8 levels buys nothing.  Kept selectable for other
+# backends/shapes.
 _BRIEF_IMPLS = {
     "gather": brief_descriptors_gather,
     "patch": brief_descriptors_patch,
     "mxu": brief_descriptors_mxu,
+    "mxu2": brief_descriptors_mxu,   # per-level fallback; frontend batches
 }
-_brief_resolved = None
-
-
-def _resolve_brief_impl():
-    global _brief_resolved
-    if _brief_resolved is None:
-        name = os.environ.get("OPENVSLAM_TPU_BRIEF", "")
-        if name not in _BRIEF_IMPLS:
-            name = "mxu" if jax.default_backend() != "cpu" else "gather"
-        _brief_resolved = _BRIEF_IMPLS[name]
-    return _brief_resolved
+_brief_name = None
 
 
 def brief_impl_name() -> str:
-    impl = _resolve_brief_impl()
-    return next(k for k, v in _BRIEF_IMPLS.items() if v is impl)
+    global _brief_name
+    if _brief_name is None:
+        name = os.environ.get("OPENVSLAM_TPU_BRIEF", "")
+        if name not in _BRIEF_IMPLS:
+            name = "mxu" if jax.default_backend() != "cpu" else "gather"
+        _brief_name = name
+    return _brief_name
 
 
 def brief_descriptors(img_blurred, xy, angles):
-    return _resolve_brief_impl()(img_blurred, xy, angles)
+    return _BRIEF_IMPLS[brief_impl_name()](img_blurred, xy, angles)
 
 
 def unpack_bits_i8(packed: jnp.ndarray) -> jnp.ndarray:

@@ -79,6 +79,10 @@ def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
                 G = jnp.einsum("nda,ndb,n->ab", A, A, w)
                 H = G[:6, :6]
                 grad = G[:6, 6]
+                # NB: keep the LU custom call — a closed-form 3x3 block-Schur
+                # solve was measured 2.4x SLOWER (tools/tpu_measure7.py): its
+                # ~25 tiny VPU ops cost more launch latency than one fused
+                # custom call.
                 Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
                 dx = -jnp.linalg.solve(Hd, grad)
                 T_new = R.perturb_pose(dx, T)

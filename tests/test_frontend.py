@@ -100,3 +100,39 @@ def test_describe_variants_agree(rng):
     # mxu computes its own (blurred-patch) angle: bits should still be close
     ham_gm = np.bitwise_count(d_gather ^ d_mxu).sum(-1)
     assert np.median(ham_gm) <= 24, np.quantile(ham_gm, [0.5, 0.9])
+    # mxu2 (batched describe over pre-extracted patches) must be
+    # bit-identical to mxu (same one-hot patches, same sampling math)
+    p, fx, fy = orb.extract_patches_onehot(blurred, xy)
+    d_mxu2, _ = orb.describe_patches(p, fx, fy)
+    d_mxu2 = np.asarray(d_mxu2)
+    np.testing.assert_array_equal(d_mxu2, d_mxu)
+    ham_gm2 = np.bitwise_count(d_gather ^ d_mxu2).sum(-1)
+    assert np.median(ham_gm2) <= 24, np.quantile(ham_gm2, [0.5, 0.9])
+
+
+def test_frontend_mxu2_end_to_end(rng):
+    """The batched-levels frontend path (impl mxu2) produces the same
+    keypoints as the default path and closely-agreeing descriptors."""
+    import jax.numpy as jnp
+    from openvslam_tpu.models.frontend import OrbFrontend
+    from openvslam_tpu.ops import orb
+
+    img = jnp.asarray(_textured_image(rng).astype(np.uint8))
+    saved = orb._brief_name
+    try:
+        orb._brief_name = "gather"
+        kp_ref = OrbFrontend(rows=img.shape[0], cols=img.shape[1],
+                             max_keypts=256, num_levels=4).extract(img)
+        orb._brief_name = "mxu2"
+        kp_b = OrbFrontend(rows=img.shape[0], cols=img.shape[1],
+                           max_keypts=256, num_levels=4).extract(img)
+    finally:
+        orb._brief_name = saved
+    np.testing.assert_array_equal(np.asarray(kp_b.xy), np.asarray(kp_ref.xy))
+    np.testing.assert_array_equal(np.asarray(kp_b.valid),
+                                  np.asarray(kp_ref.valid))
+    both = np.asarray(kp_ref.valid)
+    ham = np.bitwise_count(
+        np.asarray(kp_b.desc_u32)[both] ^ np.asarray(kp_ref.desc_u32)[both]
+    ).sum(-1)
+    assert np.median(ham) <= 24, np.quantile(ham, [0.5, 0.9])

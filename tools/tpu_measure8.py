@@ -1,0 +1,57 @@
+"""TPU measurement batch #8 (ONE process per tunnel-budget rules):
+
+mxu2 rev 2: one-hot patch extraction per level (the proven zero-gather
+formulation) + ONE batched describe over all levels' patches.  Expect the
+per-level variant's 8x small-op launch latency to collapse.  Also re-confirm
+the FrameStep baseline after reverting the solve6 experiment.
+
+Run:  python tools/tpu_measure8.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _time(fn, args, n=50, warmup=3):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from openvslam_tpu.camera import Perspective
+    from openvslam_tpu.models.frame_step import FrameStep
+    from openvslam_tpu.ops import orb
+
+    print("backend:", jax.devices(), flush=True)
+    cam = Perspective.create(fx=520.0, fy=520.0, cx=320.0, cy=240.0,
+                             cols=640, rows=480, fps=30.0)
+
+    args = None
+    for name in ("mxu2", "mxu"):
+        orb._brief_name = name
+        fs = FrameStep(cam, max_keypts=1024, num_levels=8, lm_capacity=4096)
+        if args is None:
+            args = fs.example_args()
+        ex = jax.jit(lambda im, f=fs: f.frontend._extract_impl(im, None))
+        print(f"compiling [{name}]...", flush=True)
+        t_e = _time(ex, (args[0],))
+        t = _time(fs.step, args)
+        print(f"extract [{name}] = {t_e:.3f} ms;  FrameStep = {t:.3f} ms "
+              f"({1000.0 / t:.1f} fps)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
