@@ -101,10 +101,11 @@ class OrbFrontend:
                 patches.append(p)
                 fxs.append(fx)
                 fys.append(fy)
-            elif impl == "mxu":
+            elif impl in ("mxu", "binned"):
                 # fused zero-gather path: orientation + descriptors from one
-                # patch extraction (see ops.orb.describe_mxu)
-                d_u32, ang = orb.describe_mxu(blurred, xy)
+                # patch extraction (see ops.orb.describe_mxu[_binned])
+                fn = orb.describe_mxu if impl == "mxu" else orb.describe_mxu_binned
+                d_u32, ang = fn(blurred, xy)
                 ans.append(ang)
                 descs.append(d_u32)
             else:

@@ -253,6 +253,96 @@ def brief_descriptors_mxu(img_blurred, xy, angles_unused=None):
     return describe_mxu(img_blurred, xy)[0]
 
 
+# ---------------------------------------------------------------------------
+# binned steering: constant selection tables per orientation bin
+# ---------------------------------------------------------------------------
+NUM_ANGLE_BINS = 64
+_binned_tables_cache = {}
+
+
+def _binned_tables(num_bins: int):
+    """Precompute per-bin one-hot selection tables for the rotated pattern.
+
+    The reference steers BRIEF by a 12-bin (30 deg) rotated-pattern lookup
+    (orb_extractor: angle discretized, pattern pre-rotated per bin); we use
+    64 bins (5.6 deg).  With the bins fixed, the (512,) sample positions per
+    bin are compile-time constants, so the per-keypoint one-hot CONSTRUCTION
+    (32M compares/frame, 0.65 ms — the describe-stage floor, measured in
+    tools/tpu_measure10.py) becomes a row gather of constant tables.
+    Returns (oh_y (B,512,d), oh_x (B,512,d)) bfloat16.
+    """
+    if num_bins not in _binned_tables_cache:
+        r = PATCH_RADIUS
+        d = 2 * r + 1
+        th = np.arange(num_bins) * (2 * np.pi / num_bins)
+        c, s = np.cos(th), np.sin(th)
+        px = np.asarray(_pattern)[None, :, :, 0]          # (1,256,2)
+        py = np.asarray(_pattern)[None, :, :, 1]
+        rx = c[:, None, None] * px - s[:, None, None] * py    # (B,256,2)
+        ry = s[:, None, None] * px + c[:, None, None] * py
+        xi = np.clip(np.round(rx).astype(np.int64) + r, 0, d - 1)
+        yi = np.clip(np.round(ry).astype(np.int64) + r, 0, d - 1)
+        xi = xi.reshape(num_bins, -1)                          # (B,512)
+        yi = yi.reshape(num_bins, -1)
+        oh = np.arange(d)[None, None, :]
+        import ml_dtypes
+        ohy = (yi[:, :, None] == oh).astype(ml_dtypes.bfloat16)
+        ohx = (xi[:, :, None] == oh).astype(ml_dtypes.bfloat16)
+        # the first call can happen inside a jit trace: build the constants
+        # eagerly (numpy in, no traced conversion) or the cache would hold
+        # tracers from that trace
+        with jax.ensure_compile_time_eval():
+            _binned_tables_cache[num_bins] = (jnp.asarray(ohy), jnp.asarray(ohx))
+    return _binned_tables_cache[num_bins]
+
+
+def describe_patches_binned(patches: jnp.ndarray,
+                            num_bins: int = NUM_ANGLE_BINS):
+    """Orientation + steered BRIEF from (N,d,d) patches with BINNED steering.
+
+    Like describe_patches, but the rotated sample positions come from
+    constant per-bin tables (see _binned_tables) selected by the quantized
+    IC angle — no per-keypoint one-hot construction.  Sampling is relative
+    to the integer patch centre, as in the reference (FAST corners are
+    integer-positioned; the reference's pattern lookup has no sub-pixel
+    term either).  Returns (desc_u32 (N,8), angles (N,) — continuous).
+    """
+    r = PATCH_RADIUS
+    n = patches.shape[0]
+    bf = jnp.bfloat16
+    patch = patches.astype(jnp.float32)
+
+    ramp = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    m10 = jnp.einsum("nrc,c->n", patch, ramp)
+    m01 = jnp.einsum("nrc,r->n", patch, ramp)
+    angles = jnp.arctan2(m01, m10)
+
+    step = 2 * np.pi / num_bins
+    bins = jnp.mod(jnp.round(angles / step).astype(jnp.int32), num_bins)
+    t_y, t_x = _binned_tables(num_bins)
+    oh_y = jnp.take(t_y, bins, axis=0)                   # (N,512,d) bf16
+    oh_x = jnp.take(t_x, bins, axis=0)
+    tmp = jax.lax.dot_general(
+        oh_y, patch.astype(bf),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                    # (N,512,d)
+    vals = jnp.sum(tmp * oh_x.astype(jnp.float32), axis=-1)
+    vals = vals.reshape(n, DESC_BITS, 2)
+    bits = vals[..., 0] < vals[..., 1]
+    return _pack_bits(bits), angles
+
+
+def describe_mxu_binned(img_blurred: jnp.ndarray, xy: jnp.ndarray):
+    """Zero-gather one-hot patches + binned-steering describe."""
+    patches, _, _ = extract_patches_onehot(img_blurred, xy)
+    return describe_patches_binned(patches)
+
+
+def brief_descriptors_mxu_binned(img_blurred, xy, angles_unused=None):
+    return describe_mxu_binned(img_blurred, xy)[0]
+
+
 def describe_patches(patches: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray):
     """Orientation + steered BRIEF from pre-extracted (N,d,d) patches —
     the batched-levels describe stage (impl "mxu2").
@@ -313,6 +403,7 @@ _BRIEF_IMPLS = {
     "patch": brief_descriptors_patch,
     "mxu": brief_descriptors_mxu,
     "mxu2": brief_descriptors_mxu,   # per-level fallback; frontend batches
+    "binned": brief_descriptors_mxu_binned,
 }
 _brief_name = None
 

@@ -39,10 +39,6 @@ def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
     res_fn = R.make_stereo_residual(cam) if stereo else R.make_mono_residual(cam)
     chi2_thr = R.CHI2_3D if stereo else R.CHI2_2D
 
-    def resid_all(T, X, obs):
-        r, ok = jax.vmap(res_fn, in_axes=(None, 0, 0))(T, X, obs)
-        return r, ok
-
     def jac_resid_all(T, X, obs):
         # one forward-mode pass yields J AND the residual at T (has_aux) —
         # the LM body is latency-bound on TPU, so every eliminated vmap pass
@@ -59,20 +55,27 @@ def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
     def optimize(T_init, X_w, obs, sigma2, mask):
         inv_s2 = 1.0 / jnp.maximum(sigma2, 1e-12)
 
-        def chi2_of(T, active):
-            r, ok = resid_all(T, X_w, obs)
-            c2 = jnp.sum(r * r, -1) * inv_s2
-            return c2, ok
+        def rho(c):
+            return jnp.where(c <= chi2_thr, c,
+                             2.0 * jnp.sqrt(chi2_thr * jnp.maximum(c, 0.0)) - chi2_thr)
 
+        def eval_state(T):
+            J, r, ok = jac_resid_all(T, X_w, obs)            # (N,d,6),(N,d)
+            c2 = jnp.sum(r * r, -1) * inv_s2
+            return J, r, ok, c2
+
+        # (J, r, ok, c2) at the current accepted pose ride through BOTH scans:
+        # each iteration does exactly ONE jacfwd pass (at the trial point) and
+        # keeps it on accept — the naive loop's second pass per iteration and
+        # its round-boundary re-evaluations are recomputing values the carry
+        # already holds.  Accept/reject decisions are bit-identical.
         def lm_round(carry, _):
-            T, active = carry
+            T, active, J, r, ok, c2 = carry
+            msk = active & mask
 
             def lm_iter(carry2, _):
-                T, lam, cost_prev = carry2
-                J, r, ok = jac_resid_all(T, X_w, obs)          # (N,d,6),(N,d)
-                c2 = jnp.sum(r * r, -1) * inv_s2
-                w_rob = R.huber_weight(c2, chi2_thr)
-                w = w_rob * inv_s2 * (active & ok & mask)
+                T, J, r, ok, c2, cost, lam = carry2
+                w = R.huber_weight(c2, chi2_thr) * inv_s2 * (msk & ok)
                 # augmented normal equations in ONE contraction:
                 # G = [J r]^T W [J r]  ->  H = G[:6,:6], J^T W r = G[:6,6]
                 A = jnp.concatenate([J, r[:, :, None]], axis=2)  # (N,d,7)
@@ -85,34 +88,34 @@ def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
                 # custom call.
                 Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
                 dx = -jnp.linalg.solve(Hd, grad)
-                T_new = R.perturb_pose(dx, T)
-                r2, ok2 = resid_all(T_new, X_w, obs)
-                c2n = jnp.sum(r2 * r2, -1) * inv_s2
-                # robust cost (Huber rho) for accept/reject
-                def rho(c):
-                    return jnp.where(c <= chi2_thr, c,
-                                     2.0 * jnp.sqrt(chi2_thr * jnp.maximum(c, 0.0)) - chi2_thr)
-                msk = (active & mask).astype(T.dtype)
-                cost_new = jnp.sum(rho(c2n) * msk * ok2)
-                cost_old = jnp.sum(rho(c2) * msk * ok)
-                accept = cost_new < cost_old
-                T_out = jnp.where(accept, T_new, T)
-                lam_out = jnp.where(accept, lam * 0.5, lam * 4.0)
-                lam_out = jnp.clip(lam_out, 1e-9, 1e6)
-                return (T_out, lam_out, jnp.where(accept, cost_new, cost_old)), None
+                T_try = R.perturb_pose(dx, T)
+                J2, r2, ok2, c2n = eval_state(T_try)
+                mskf = msk.astype(T.dtype)
+                cost_try = jnp.sum(rho(c2n) * mskf * ok2)
+                accept = cost_try < cost
+                return (
+                    jnp.where(accept, T_try, T),
+                    jnp.where(accept, J2, J),
+                    jnp.where(accept, r2, r),
+                    jnp.where(accept, ok2, ok),
+                    jnp.where(accept, c2n, c2),
+                    jnp.where(accept, cost_try, cost),
+                    jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0),
+                             1e-9, 1e6),
+                ), None
 
-            (T, _, _), _ = jax.lax.scan(
-                lm_iter, (T, jnp.float32(1e-3), jnp.float32(jnp.inf)),
+            cost0 = jnp.sum(rho(c2) * msk.astype(T.dtype) * ok)
+            (T, J, r, ok, c2, _, _), _ = jax.lax.scan(
+                lm_iter, (T, J, r, ok, c2, cost0, jnp.float32(1e-3)),
                 None, length=iters_per_round,
             )
-            c2, ok = chi2_of(T, active)
             active_new = mask & ok & (c2 < chi2_thr)
-            return (T, active_new), None
+            return (T, active_new, J, r, ok, c2), None
 
-        (T_fin, active), _ = jax.lax.scan(
-            lm_round, (T_init, mask), None, length=num_rounds
+        J0, r0, ok0, c20 = eval_state(T_init)
+        (T_fin, active, _, _, ok, c2), _ = jax.lax.scan(
+            lm_round, (T_init, mask, J0, r0, ok0, c20), None, length=num_rounds
         )
-        c2, ok = chi2_of(T_fin, active)
         inl = mask & ok & (c2 < chi2_thr)
         return PoseOptResult(T_fin, inl, jnp.sum(inl.astype(jnp.int32)), c2)
 

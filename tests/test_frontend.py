@@ -110,6 +110,45 @@ def test_describe_variants_agree(rng):
     assert np.median(ham_gm2) <= 24, np.quantile(ham_gm2, [0.5, 0.9])
 
 
+def test_describe_binned_agrees_and_matches(rng):
+    """Binned steering (constant per-bin selection tables, 64 bins = 5.6 deg)
+    vs continuous steering: descriptors stay close, and matching power under
+    a known image shift is preserved."""
+    import jax.numpy as jnp
+    from openvslam_tpu.ops import match as M
+    from openvslam_tpu.ops import orb, pyramid
+
+    img = _textured_image(rng).astype(np.float32)
+    blurred = pyramid.gaussian_blur(jnp.asarray(img))
+    xy_np = np.stack([rng.uniform(30, 370, 96), rng.uniform(30, 270, 96)], -1)
+    xy_np = np.round(xy_np)              # frontend keypoints are integer
+    xy = jnp.asarray(xy_np, jnp.float32)
+
+    d_cont, ang_c = orb.describe_mxu(blurred, xy)
+    d_bin, ang_b = orb.describe_mxu_binned(blurred, xy)
+    np.testing.assert_allclose(np.asarray(ang_b), np.asarray(ang_c))
+    ham = np.bitwise_count(np.asarray(d_bin) ^ np.asarray(d_cont)).sum(-1)
+    assert np.median(ham) <= 24, np.quantile(ham, [0.5, 0.9])
+
+    # matching power: shifted image, binned descriptors on both sides
+    shift = 40
+    img2 = np.roll(img, shift, axis=1)
+    blurred2 = pyramid.gaussian_blur(jnp.asarray(img2))
+    xy2 = jnp.asarray(
+        np.stack([np.clip(xy_np[:, 0] + shift, 16, 399), xy_np[:, 1]], -1),
+        jnp.float32)
+    d2, _ = orb.describe_mxu_binned(blurred2, xy2)
+    ok1 = jnp.ones(xy.shape[0], bool)
+    idx, dist = M.match_descriptors(
+        orb.unpack_bits_i8(d_bin), orb.unpack_bits_i8(d2), ok1, ok1,
+        max_dist=M.HAMMING_DIST_THR_HIGH, ratio=None, cross_check=True)
+    idx = np.asarray(idx)
+    interior = (xy_np[:, 0] + shift < 395)
+    matched = idx >= 0
+    good = matched & (idx == np.arange(len(idx)))
+    assert good[interior].mean() > 0.8, good[interior].mean()
+
+
 def test_frontend_mxu2_end_to_end(rng):
     """The batched-levels frontend path (impl mxu2) produces the same
     keypoints as the default path and closely-agreeing descriptors."""
