@@ -25,6 +25,17 @@ class PoseOptResult(NamedTuple):
     chi2: jnp.ndarray        # (N,) final per-obs chi2
 
 
+def _use_pallas_poselm() -> bool:
+    """Fused whole-schedule Pallas LM on accelerators (2.1-2.3x vs the XLA
+    loop, identical inlier decisions — tools/tpu_measure13.py); XLA
+    elsewhere.  Opt out with OPENVSLAM_TPU_PALLAS_POSELM=0."""
+    import os
+
+    if os.environ.get("OPENVSLAM_TPU_PALLAS_POSELM", "") == "0":
+        return False
+    return jax.default_backend() != "cpu"
+
+
 def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
                         iters_per_round: int = 10, jit: bool = True):
     """Build a jitted pose optimizer for one camera model.
@@ -33,9 +44,31 @@ def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
     -> PoseOptResult.  `obs` is uv for mono, (u,v,u_right) for stereo
     (u_right < 0 marks a mono observation inside a stereo frame).
 
+    On accelerator backends with a perspective camera the whole 4x10
+    schedule dispatches to one Pallas kernel (ops.pallas.pose_lm_kernel);
+    fisheye/equirectangular cameras and CPU use the autodiff XLA loop.
+
     jit=False returns the raw traced function for composition inside a
     larger jitted program (models.track_step).
     """
+    if (_use_pallas_poselm()
+            and getattr(cam, "model_name", "") == "perspective"):
+        from ..ops.pallas.pose_lm_kernel import pose_lm_pallas
+
+        kw = dict(
+            fx=float(cam.fx), fy=float(cam.fy),
+            cx=float(cam.cx), cy=float(cam.cy),
+            fxb=float(cam.focal_x_baseline) if stereo else 0.0,
+            chi2_thr=R.CHI2_3D if stereo else R.CHI2_2D,
+            num_rounds=num_rounds, iters_per_round=iters_per_round,
+        )
+
+        def optimize_pallas(T_init, X_w, obs, sigma2, mask):
+            T, inl, n, c2 = pose_lm_pallas(T_init, X_w, obs, sigma2, mask,
+                                           **kw)
+            return PoseOptResult(T, inl, n, c2)
+
+        return jax.jit(optimize_pallas) if jit else optimize_pallas
     res_fn = R.make_stereo_residual(cam) if stereo else R.make_mono_residual(cam)
     chi2_thr = R.CHI2_3D if stereo else R.CHI2_2D
 
