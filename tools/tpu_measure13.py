@@ -62,7 +62,11 @@ def main():
               f"n={int(n_k)} vs {int(n_a)}", flush=True)
 
         t_p = _time(lambda *p: pose_lm_pallas(*p, **kw), (T, X, obs, sig, vis))
+        # force the autodiff XLA core (make_pose_optimizer now dispatches to
+        # the pallas kernel on accelerators)
+        os.environ["OPENVSLAM_TPU_PALLAS_POSELM"] = "0"
         core = make_pose_optimizer(cam)
+        os.environ.pop("OPENVSLAM_TPU_PALLAS_POSELM", None)
         t_x = _time(core, (T, X, uv, sig, vis))
         print(f"LM 4x10 N={N}: autodiff-XLA {t_x:.3f} ms, pallas {t_p:.3f} ms "
               f"({t_x / t_p:.1f}x)", flush=True)
