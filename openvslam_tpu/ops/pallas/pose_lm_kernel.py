@@ -197,7 +197,12 @@ def _lm_schedule(X0, X1, X2, ou, ov, our, inv_s2, mask_f, T0,
         T_try = tuple(Tn)
         J2, r2, ok2, c2n = eval_at(T_try)
         cost_try = jnp.sum(rho(c2n) * active * ok2)
-        acc = cost_try < cost
+        # never accept a non-finite pose: its residuals are all masked by the
+        # validity gate and would read as a perfect cost of 0
+        tsum = T_try[0]
+        for v in T_try[1:]:
+            tsum = tsum + v
+        acc = (cost_try < cost) & jnp.isfinite(tsum)
         accf = acc.astype(f32)
 
         def sel(new, old):

@@ -175,7 +175,11 @@ def make_local_ba(cam, stereo: bool = False, first_iters: int = 5,
             X_new = X + dxl
             cost_new, _, _ = cost_of(T_new, X_new)
             cost_old, _, _ = cost_of(T, X)
-            accept = cost_new < cost_old
+            # a diverged step can produce non-finite poses/points whose
+            # residuals are all masked by the validity gate -> cost 0: never
+            # accept a non-finite state (reject instead and let lam recover)
+            finite = (jnp.isfinite(dxc).all() & jnp.isfinite(dxl).all())
+            accept = (cost_new < cost_old) & finite
             T_out = jnp.where(accept, T_new, T)
             X_out = jnp.where(accept, X_new, X)
             lam_out = jnp.clip(
@@ -335,7 +339,10 @@ def make_global_ba(cam, stereo: bool = False, iters: int = 10, cg_iters: int = 4
             X_new = X + dxl
             cost_new, _, _ = cost_of(T_new, X_new)
             cost_old, _, _ = cost_of(T, X)
-            accept = cost_new < cost_old
+            # same non-finite guard as local BA: a NaN state masks all its
+            # residuals and would be accepted as cost 0
+            finite = (jnp.isfinite(dxc).all() & jnp.isfinite(dxl).all())
+            accept = (cost_new < cost_old) & finite
             return (
                 jnp.where(accept, T_new, T),
                 jnp.where(accept, X_new, X),

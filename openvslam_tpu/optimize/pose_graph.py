@@ -145,7 +145,8 @@ def make_pose_graph_optimizer(iters: int = 20, cg_iters: int = 50,
             )(dx, R, t, s)
             c_new = cost_of(Rn, tn, sn)
             c_old = cost_of(R, t, s)
-            accept = c_new < c_old
+            finite = jnp.isfinite(dx).all()
+            accept = (c_new < c_old) & finite
             return (
                 jnp.where(accept, Rn, R),
                 jnp.where(accept, tn, t),

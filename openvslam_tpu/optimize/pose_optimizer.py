@@ -125,7 +125,10 @@ def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
                 J2, r2, ok2, c2n = eval_state(T_try)
                 mskf = msk.astype(T.dtype)
                 cost_try = jnp.sum(rho(c2n) * mskf * ok2)
-                accept = cost_try < cost
+                # never accept a non-finite pose (its masked residuals would
+                # read as cost 0)
+                finite = jnp.isfinite(T_try).all()
+                accept = (cost_try < cost) & finite
                 return (
                     jnp.where(accept, T_try, T),
                     jnp.where(accept, J2, J),

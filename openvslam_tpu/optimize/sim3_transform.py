@@ -95,7 +95,12 @@ def make_sim3_transform_optimizer(cam, fix_scale: bool = False,
                                      2.0 * jnp.sqrt(CHI2_SIM3 * jnp.maximum(c, 0.0)) - CHI2_SIM3)
                 cost_old = jnp.sum((rho(c1) + rho(c2)) * m)
                 cost_new = jnp.sum((rho(c1n) + rho(c2n)) * mn)
-                accept = cost_new < cost_old
+                finite = jax.tree_util.tree_reduce(
+                    lambda a, b: a & b,
+                    jax.tree_util.tree_map(
+                        lambda x: jnp.isfinite(x).all(), g_new),
+                )
+                accept = (cost_new < cost_old) & finite
                 g_out = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(accept, a, b), g_new, g
                 )
