@@ -79,6 +79,26 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     return fast_score_maps(img, [threshold])[0]
 
 
+def topk_small(x: jnp.ndarray, k: int):
+    """Per-row top-k as k rounds of (max, argmax, mask-out).
+
+    Identical results to jax.lax.top_k (values descending; ties keep the
+    lowest index, which argmax also picks) — but lax.top_k lowers to a full
+    per-row variadic SORT custom call that costs ~55 us for one (300,1024)
+    cell block on v5e (profiled: the 8 per-level calls were 284 us of the
+    1.6 ms fused step).  k masked maxima are a few fused VPU reductions.
+    """
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    vals, idxs = [], []
+    for _ in range(k):
+        v = jnp.max(x, axis=-1)
+        i = jnp.argmax(x, axis=-1).astype(jnp.int32)
+        vals.append(v)
+        idxs.append(i)
+        x = jnp.where(cols == i[..., None], -jnp.inf, x)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
 def _use_pallas() -> bool:
     """Pallas band kernel on accelerators (validated exact vs XLA on the v5e
     backend, ~60x faster standalone); XLA everywhere else.  Opt out with
@@ -138,7 +158,7 @@ def detect_level(
     cells = sp.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(gh * gw, cell * cell)
     # per-cell cap: keep top-k per cell, zero the rest, then global top-k
     k_cell = max(1, min(cell * cell, (max_pts * 4) // (gh * gw) + 1))
-    cv, ci = jax.lax.top_k(cells, k_cell)                 # (C, k_cell)
+    cv, ci = topk_small(cells, k_cell)                    # (C, k_cell)
     cell_ids = jax.lax.broadcasted_iota(jnp.int32, cv.shape, 0)
     flat_idx = cell_ids * (cell * cell) + ci              # index into padded layout
     vals = cv.reshape(-1)

@@ -26,7 +26,7 @@ from .. import fast as fast_ref
 
 _CIRCLE = fast_ref._CIRCLE
 _ARC = fast_ref._ARC
-TILE_H = 64
+TILE_H = 32     # 32 keeps the prefix-sum live set inside the 16M VMEM stack
 HALO = 3        # FAST ring radius (rows/cols of true halo needed)
 PAD = 8         # band halo actually carried: 8-row aligned for Mosaic DMA
 
@@ -44,31 +44,43 @@ def _fast_band_kernel(img_hbm, hi_ref, lo_ref, band_ref, sem,
 
     nrows = tile_h + 2 * PAD
 
-    def shifted(dy, dx):
-        # pltpu.roll needs non-negative shifts; normalize modulo the axis
-        rolled = pltpu.roll(pltpu.roll(band, (-dy) % nrows, 0), (-dx) % width, 1)
-        return rolled[PAD:PAD + tile_h, :]
-
+    # one row-roll per distinct dy (7), then the column roll per offset —
+    # 23 rolls instead of 32
+    row_cache = {}
+    for dy, _ in _CIRCLE:
+        if dy not in row_cache:
+            row_cache[dy] = pltpu.roll(band, (-dy) % nrows, 0)
     center = band[PAD:PAD + tile_h, :]
-    diffs = [shifted(dy, dx) - center for dy, dx in _CIRCLE]
+    diffs = []
+    for dy, dx in _CIRCLE:
+        r = row_cache[dy]
+        if dx:
+            r = pltpu.roll(r, (-dx) % width, 1)
+        diffs.append(r[PAD:PAD + tile_h, :] - center)
 
     def score(thr):
-        bright = [jnp.maximum(d - thr, 0.0) for d in diffs]
-        dark = [jnp.maximum(-d - thr, 0.0) for d in diffs]
-
+        # contiguous-arc test via circular prefix sums: windowed sum and
+        # windowed pass-count come from ONE sequential prefix each (~2x
+        # fewer VPU ops than accumulating all 16 9-long windows directly;
+        # same structure as the XLA formulation's cumsum)
         def arc(mag):
-            best = jnp.zeros_like(center)
+            ext = mag + mag[:_ARC - 1]
+            zero = jnp.zeros_like(center)
+            cm = [zero]
+            cf = [zero]
+            for m in ext:
+                cm.append(cm[-1] + m)
+                cf.append(cf[-1] + (m > 0.0).astype(jnp.float32))
+            best = zero
             for s in range(16):
-                w = mag[s % 16]
-                ok = mag[s % 16] > 0.0
-                for k in range(1, _ARC):
-                    m = mag[(s + k) % 16]
-                    w = w + m
-                    ok = ok & (m > 0.0)
-                best = jnp.maximum(best, jnp.where(ok, w, 0.0))
+                wm = cm[s + _ARC] - cm[s]
+                wf = cf[s + _ARC] - cf[s]
+                best = jnp.maximum(best, jnp.where(wf >= float(_ARC), wm, 0.0))
             return best
 
-        return jnp.maximum(arc(bright), arc(dark))
+        bright = arc([jnp.maximum(d - thr, 0.0) for d in diffs])
+        dark = arc([jnp.maximum(-d - thr, 0.0) for d in diffs])
+        return jnp.maximum(bright, dark)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 1)
     inside = (col >= HALO) & (col < true_w - HALO)

@@ -21,3 +21,15 @@ def test_pallas_fast_matches_xla(rng):
         np.asarray(lo)[b:-b, b:-b], np.asarray(lo_ref)[b:-b, b:-b], atol=1e-4
     )
     assert np.asarray(hi).max() > 0
+
+
+def test_topk_small_equals_lax_topk(rng):
+    """topk_small must reproduce jax.lax.top_k exactly, ties included."""
+    import jax
+
+    for shape, k in [((300, 1024), 3), ((40, 64), 9), ((7, 33), 1)]:
+        x = rng.integers(0, 50, shape).astype(np.float32)  # many ties
+        v1, i1 = jax.lax.top_k(jnp.asarray(x), k)
+        v2, i2 = fast.topk_small(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
