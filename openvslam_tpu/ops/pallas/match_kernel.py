@@ -125,21 +125,26 @@ def projection_match_pallas(
     b_desc = (b_desc_i8 if Kp == K
               else jnp.zeros((Kp, 256), jnp.int8).at[:K].set(b_desc_i8))
     r = a_radius if jnp.ndim(a_radius) > 0 else jnp.full(L, a_radius)
-    a_meta = jnp.zeros((Lp, 8), jnp.float32)
-    a_meta = a_meta.at[:L, 0].set(a_uv[:, 0])
-    a_meta = a_meta.at[:L, 1].set(a_uv[:, 1])
-    a_meta = a_meta.at[:L, 2].set(r.astype(jnp.float32) ** 2)
-    a_meta = a_meta.at[:L, 3].set(a_pred_level.astype(jnp.float32))
-    a_meta = a_meta.at[:L, 4].set(a_vis.astype(jnp.float32))
-    a_meta = a_meta.at[:L, 5].set(
-        jnp.sum(a_desc_i8.astype(jnp.int32), axis=1).astype(jnp.float32))
-    b_meta = jnp.zeros((8, Kp), jnp.float32)
-    b_meta = b_meta.at[0, :K].set(b_xy[:, 0])
-    b_meta = b_meta.at[1, :K].set(b_xy[:, 1])
-    b_meta = b_meta.at[2, :K].set(b_level.astype(jnp.float32))
-    b_meta = b_meta.at[3, :K].set(b_valid.astype(jnp.float32))
-    b_meta = b_meta.at[4, :K].set(
-        jnp.sum(b_desc_i8.astype(jnp.int32), axis=1).astype(jnp.float32))
+    zL = jnp.zeros(L, jnp.float32)
+    # one stack + one pad, not per-column dynamic-update-slices (profiled:
+    # five 11 us DUS ops per call on the (4096,8) buffer)
+    a_meta = jnp.stack([
+        a_uv[:, 0], a_uv[:, 1], r.astype(jnp.float32) ** 2,
+        a_pred_level.astype(jnp.float32), a_vis.astype(jnp.float32),
+        jnp.sum(a_desc_i8.astype(jnp.int32), axis=1).astype(jnp.float32),
+        zL, zL,
+    ], axis=1)                                               # (L, 8)
+    if Lp != L:
+        a_meta = jnp.pad(a_meta, ((0, Lp - L), (0, 0)))
+    zK = jnp.zeros(K, jnp.float32)
+    b_meta = jnp.stack([
+        b_xy[:, 0], b_xy[:, 1], b_level.astype(jnp.float32),
+        b_valid.astype(jnp.float32),
+        jnp.sum(b_desc_i8.astype(jnp.int32), axis=1).astype(jnp.float32),
+        zK, zK, zK,
+    ], axis=0)                                               # (8, K)
+    if Kp != K:
+        b_meta = jnp.pad(b_meta, ((0, 0), (0, Kp - K)))
 
     grid = (Lp // tile_l,)
     row_out, col_out = pl.pallas_call(
