@@ -76,11 +76,13 @@ class Relocalizer:
         pmask[:n] = True
         self.key, k = jax.random.split(self.key)
         bj, pj, mj = jnp.asarray(brg), jnp.asarray(pts), jnp.asarray(pmask)
+        # EPnP on 4-point minimal sets (ref pnp_solver): at 50% outliers an
+        # all-inlier quadruple is ~4x likelier than an all-inlier 6-set
         T_est, score, inl = ransac.run_ransac(
             k,
-            lambda i: solvers.fit_pnp_dlt(bj[i], pj[i]),
+            lambda i: solvers.fit_pnp_epnp(bj[i], pj[i]),
             lambda T: solvers.score_pnp(T, bj, pj, mj, thr_cos=0.9998),
-            mj, 128, 6,
+            mj, 128, 4,
         )
         if int(np.asarray(inl).sum()) < 10:
             return None

@@ -10,6 +10,7 @@ hypotheses (see ``ops/ransac.py``).  Conventions:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import se3
@@ -291,6 +292,104 @@ def fit_pnp_dlt(bearings: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     R = (U * jnp.array([1.0, 1.0, 1.0], Rraw.dtype).at[2].set(det)[None, :]) @ Vt
     t = t_raw / jnp.maximum(scale, _EPS)
     return se3.from_Rt(R, t)
+
+
+@geometry_precision
+def fit_pnp_epnp(bearings: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """EPnP on bearings from k>=4 pairs -> T_cw (4,4) (ref solve/pnp_solver:
+    the reference adapts the EPnP solver to bearing vectors so one solver
+    covers all camera models; same here, batched-RANSAC friendly).
+
+    Pipeline: 4 control points (centroid + PCA axes), barycentric alphas,
+    nullspace of the 3k x 12 bearing-cross constraint system (via eigh of
+    M^T M — fixed work, no dynamic rank logic), beta from the N=1 case
+    refined by 5 Gauss-Newton steps over all four betas on the 6 pairwise
+    control-point distance constraints, cheirality sign fix, then Kabsch
+    alignment of world->camera control points.  Degenerate minimal sets
+    produce a finite (if useless) pose that simply scores no inliers.
+    """
+    k = bearings.shape[0]
+    c0 = jnp.mean(points, axis=0)
+    Xc = points - c0
+    cov = Xc.T @ Xc / k
+    evals, evecs = jnp.linalg.eigh(cov)                   # ascending
+    axes = (evecs * jnp.sqrt(jnp.maximum(evals, 1e-8))[None, :]).T  # (3,3)
+    ctrl_w = jnp.concatenate([c0[None, :], c0[None, :] + axes], 0)  # (4,3)
+    # barycentric coordinates: X_i = ctrl_w^T @ alpha_i, sum(alpha)=1
+    Ainv = jnp.linalg.inv(axes.T + 1e-12 * jnp.eye(3))
+    a123 = Xc @ Ainv.T                                     # (k,3)
+    alphas = jnp.concatenate([1.0 - jnp.sum(a123, -1, keepdims=True),
+                              a123], axis=-1)              # (k,4)
+    # M rows: hat(b_i) sum_j alpha_ij c_j^cam = 0
+    Bx = se3.hat(bearings)                                 # (k,3,3)
+    M = jnp.einsum("kab,kj->kajb", Bx, alphas).reshape(3 * k, 12)
+    MtM = M.T @ M
+    _, v = jnp.linalg.eigh(MtM)
+    V = v[:, :4].T.reshape(4, 4, 3)                        # (null_idx, ctrl, 3)
+
+    dw = ctrl_w[:, None, :] - ctrl_w[None, :, :]           # (4,4,3)
+    iu, ju = jnp.triu_indices(4, 1)
+    d2_w = jnp.sum(dw[iu, ju] ** 2, -1)                    # (6,)
+    dV = V[:, iu, :] - V[:, ju, :]                         # (4,6,3)
+    P = jnp.einsum("apx,bpx->abp", dV, dV)                 # (4,4,6)
+
+    def gn_step(b, _):
+        # residuals over the 6 pairwise distances; jacobian wrt the 4 betas
+        e = jnp.einsum("a,apx->px", b, dV)                 # (6,3)
+        f = jnp.sum(e * e, -1) - d2_w                      # (6,)
+        J = 2.0 * jnp.einsum("px,apx->pa", e, dV)          # (6,4)
+        JtJ = J.T @ J + 1e-6 * jnp.eye(4)
+        g = J.T @ f
+        return b - jnp.linalg.solve(JtJ, g), None
+
+    def solve_sym(L, rhs, n):
+        LtL = L.T @ L + 1e-9 * jnp.eye(n)
+        return jnp.linalg.solve(LtL, L.T @ rhs)
+
+    # the classic EPnP case initializations (N=1,2,3), each refined by
+    # Gauss-Newton over all four betas — with a 4-point minimal set the
+    # nullspace is 4-dimensional and the N=1 init alone is useless
+    b0 = jnp.sum(jnp.sqrt(jnp.maximum(P[0, 0] * d2_w, 0.0))) / jnp.maximum(
+        jnp.sum(P[0, 0]), _EPS)
+    cand1 = jnp.array([1.0, 0.0, 0.0, 0.0], points.dtype) * b0
+
+    L2 = jnp.stack([P[0, 0], 2.0 * P[0, 1], P[1, 1]], -1)   # (6,3)
+    s2 = solve_sym(L2, d2_w, 3)
+    b1 = jnp.sqrt(jnp.maximum(jnp.abs(s2[0]), _EPS))
+    b2 = s2[1] / b1
+    cand2 = jnp.stack([b1, b2, jnp.zeros(()), jnp.zeros(())])
+
+    L3 = jnp.stack([P[0, 0], 2.0 * P[0, 1], P[1, 1],
+                    2.0 * P[0, 2], 2.0 * P[1, 2], P[2, 2]], -1)  # (6,6)
+    s3 = solve_sym(L3, d2_w, 6)
+    c1 = jnp.sqrt(jnp.maximum(jnp.abs(s3[0]), _EPS))
+    cand3 = jnp.stack([c1, s3[1] / c1, s3[3] / c1, jnp.zeros(())])
+
+    def pose_from(betas0, sgn):
+        betas, _ = jax.lax.scan(gn_step, betas0, None, length=10)
+        # both nullspace signs are candidates (with 4 points the cheirality
+        # vote can tie 2-2); the bearing-alignment error arbitrates
+        ctrl_c = sgn * jnp.einsum("a,apx->px", betas, V)   # (4,3)
+        # Kabsch: rigid world->camera from the 4 control-point pairs
+        mu_w = jnp.mean(ctrl_w, 0)
+        mu_c = jnp.mean(ctrl_c, 0)
+        H = (ctrl_w - mu_w).T @ (ctrl_c - mu_c)
+        U, S, Vt = jnp.linalg.svd(H)
+        det = jnp.linalg.det(Vt.T @ U.T)
+        D = jnp.diag(jnp.array([1.0, 1.0, det], points.dtype))
+        Rm = Vt.T @ D @ U.T
+        t = mu_c - Rm @ mu_w
+        T = se3.from_Rt(Rm, t)
+        pred = points @ Rm.T + t
+        pred = pred / jnp.maximum(
+            jnp.linalg.norm(pred, axis=-1, keepdims=True), _EPS)
+        err = jnp.sum(1.0 - jnp.sum(pred * bearings, -1))
+        return T, err
+
+    cands = jnp.stack([cand1, cand2, cand3, cand1, cand2, cand3])
+    signs = jnp.array([1.0, 1.0, 1.0, -1.0, -1.0, -1.0], points.dtype)
+    Ts, errs = jax.vmap(pose_from)(cands, signs)
+    return Ts[jnp.argmin(errs)]
 
 
 @geometry_precision

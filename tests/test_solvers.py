@@ -118,6 +118,54 @@ def test_pnp_ransac(rng):
     assert np.linalg.norm(T_est[:3, 3] - T[:3, 3]) < 0.02
 
 
+def test_pnp_epnp_exact_and_minimal(rng):
+    """EPnP (ref pnp_solver: EPnP on bearings): exact on clean full sets,
+    usable on 4-point minimal sets (>=60% solve rate; each failure just
+    scores no RANSAC inliers)."""
+    ok = 0
+    for trial in range(20):
+        pts = synthetic.landmark_cloud(rng, 40, center=(0, 0, 6),
+                                       extent=(4, 3, 2))
+        T = synthetic.lookat_pose_cw(
+            eye=rng.uniform(-1, 1, 3) * 0.5 + np.array([0.3, -0.2, 0.5]),
+            target=(0, 0, 6))
+        pc = (T[:3, :3] @ pts.T).T + T[:3, 3]
+        brg = pc / np.linalg.norm(pc, axis=-1, keepdims=True)
+        Te = np.asarray(solvers.fit_pnp_epnp(
+            jnp.asarray(brg, jnp.float32), jnp.asarray(pts, jnp.float32)))
+        assert np.linalg.norm(Te[:3, :3] - T[:3, :3]) < 1e-3
+        assert np.linalg.norm(Te[:3, 3] - T[:3, 3]) < 1e-3
+        idx = rng.choice(40, 4, replace=False)
+        Tm = np.asarray(solvers.fit_pnp_epnp(
+            jnp.asarray(brg[idx], jnp.float32),
+            jnp.asarray(pts[idx], jnp.float32)))
+        ok += np.linalg.norm(Tm[:3, :3] - T[:3, :3]) < 1e-2
+    assert ok >= 12, ok
+
+
+def test_pnp_epnp_ransac_heavy_outliers(rng):
+    """4-point EPnP RANSAC survives 55% outliers where 6-point sampling has
+    a much lower all-inlier hit rate."""
+    pts = synthetic.landmark_cloud(rng, 128, center=(0, 0, 6), extent=(4, 3, 2))
+    T = synthetic.lookat_pose_cw(eye=(0.5, -0.3, 0.8), target=(0, 0, 6))
+    pc = (T[:3, :3] @ pts.T).T + T[:3, 3]
+    brg = pc / np.linalg.norm(pc, axis=-1, keepdims=True)
+    out_idx = rng.choice(128, 70, replace=False)
+    brg_noisy = brg.copy()
+    rnd = rng.standard_normal((70, 3))
+    brg_noisy[out_idx] = rnd / np.linalg.norm(rnd, axis=-1, keepdims=True)
+    bj = jnp.asarray(brg_noisy, jnp.float32)
+    pj = jnp.asarray(pts, jnp.float32)
+    mask = jnp.ones(128, bool)
+    key = jax.random.PRNGKey(5)
+    fit = lambda idx: solvers.fit_pnp_epnp(bj[idx], pj[idx])
+    score = lambda M: solvers.score_pnp(M, bj, pj, mask)
+    T_est, s, inl = ransac.run_ransac(key, fit, score, mask, n_hyp=128, k=4)
+    T_est = np.asarray(T_est)
+    assert np.linalg.norm(T_est[:3, :3] - T[:3, :3]) < 0.01
+    assert np.linalg.norm(T_est[:3, 3] - T[:3, 3]) < 0.02
+
+
 def test_sim3_horn(rng):
     R_gt, t_gt, s_gt = synthetic.random_sim3(rng)
     p1 = rng.standard_normal((64, 3))
