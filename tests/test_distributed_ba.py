@@ -1,7 +1,6 @@
 """Distributed BA on the 8-virtual-device CPU mesh (SURVEY.md §4 multi-node
 testing strategy): same problem, 1-shard vs 8-shard results must agree."""
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -3,7 +3,6 @@
 model's own unprojection, so the rendered images carry the model's distortion;
 the two-view initializer takes the essential-on-bearings path for these."""
 import numpy as np
-import pytest
 
 from openvslam_tpu.config import Config
 from openvslam_tpu.system import System

@@ -1,10 +1,8 @@
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openvslam_tpu.ops import ransac, se3, solvers, triangulate
+from openvslam_tpu.ops import ransac, solvers, triangulate
 from openvslam_tpu.utils import synthetic
 
 

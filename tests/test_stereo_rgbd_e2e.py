@@ -4,7 +4,6 @@ Stereo/RGBD recover METRIC scale (unlike mono), so ATE is checked with SE3
 alignment only — the strongest accuracy statement the harness makes.
 """
 import numpy as np
-import pytest
 
 from openvslam_tpu.config import Config
 from openvslam_tpu.system import System
