@@ -268,14 +268,20 @@ class MappingModule:
         desc[:n] = db.lm_desc_i8[lm_ids]
         valid[:n] = True
         pred = np.full(Lcap, -1, np.int32)
+        # loop-invariant device operands once, not per covisible target (the
+        # (4096,256) descriptor upload alone is ~1 MB per conversion)
+        pos_j, desc_j = jnp.asarray(pos), jnp.asarray(desc)
+        valid_j, pred_j = jnp.asarray(valid), jnp.asarray(pred)
+        sf_j = jnp.asarray(self.scale_factors)
+        touched = set()
         for nb in targets:
             idx, dist = TO.fuse_candidates(
                 self.cam, jnp.asarray(db.kf_pose_cw[nb], jnp.float32),
-                jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
+                pos_j, desc_j, valid_j,
                 jnp.asarray(db.kf_desc_i8[nb]), jnp.asarray(db.kf_xy_undist[nb]),
                 jnp.asarray(db.kf_kpt_valid[nb]), jnp.asarray(db.kf_level[nb]),
-                jnp.float32(3.0), jnp.asarray(self.scale_factors),
-                jnp.asarray(pred),
+                jnp.float32(3.0), sf_j,
+                pred_j,
             )
             idx = np.asarray(idx)
             for j in np.where(idx >= 0)[0]:
@@ -295,7 +301,12 @@ class MappingModule:
                             db.replace_landmark(lm, other)
                 else:
                     db.add_observation(lm, nb, kpt)
-                    db.update_landmark_descriptor(lm)
+                    touched.add(lm)
+        # representative descriptors once per touched landmark (a landmark
+        # fused into several keyframes was recomputing its median each time)
+        for lm in touched:
+            if db.lm_valid[lm]:
+                db.update_landmark_descriptor(lm)
         db.update_connections(kf)
 
     # ------------------------------------------------------------------
