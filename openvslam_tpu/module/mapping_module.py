@@ -163,6 +163,12 @@ class MappingModule:
         c1 = -T1[:3, :3].T @ T1[:3, 3]
         unmatched1 = (db.kf_lm_idx[kf] < 0) & db.kf_kpt_valid[kf]
         median_depth = self._median_scene_depth(kf)
+        # query-side operands once, not per neighbor
+        T1_j = jnp.asarray(T1, jnp.float32)
+        desc1_j = jnp.asarray(db.kf_desc_i8[kf])
+        un1_j = jnp.asarray(unmatched1)
+        brg1_j = jnp.asarray(db.kf_bearing[kf])
+        ang1_j = jnp.asarray(db.kf_angle[kf])
         for nb in neighbors:
             T2 = db.kf_pose_cw[nb]
             c2 = -T2[:3, :3].T @ T2[:3, 3]
@@ -174,19 +180,18 @@ class MappingModule:
             elif baseline < self.cfg.mapping.baseline_dist_thr_ratio * median_depth:
                 continue
             E12 = TO.essential_from_poses(
-                jnp.asarray(T1, jnp.float32), jnp.asarray(T2, jnp.float32)
+                T1_j, jnp.asarray(T2, jnp.float32)
             )
             unmatched2 = (db.kf_lm_idx[nb] < 0) & db.kf_kpt_valid[nb]
             idx, dist = TO.match_unmatched_robust(
-                jnp.asarray(db.kf_desc_i8[kf]), jnp.asarray(unmatched1),
-                jnp.asarray(db.kf_bearing[kf]),
+                desc1_j, un1_j, brg1_j,
                 jnp.asarray(db.kf_desc_i8[nb]), jnp.asarray(unmatched2),
                 jnp.asarray(db.kf_bearing[nb]),
                 E12, jnp.float32(1e-2),
             )
             from ..ops import match as M
             idx = M.angle_consistency_filter(
-                jnp.asarray(db.kf_angle[kf]), jnp.asarray(db.kf_angle[nb]), idx
+                ang1_j, jnp.asarray(db.kf_angle[nb]), idx
             )
             idx = np.asarray(idx)
             m1 = np.where(idx >= 0)[0]

@@ -81,6 +81,10 @@ def match_descriptors(
     return jnp.where(ok, best_idx, -1), jnp.where(ok, best_d, LARGE)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "keep_top"))
 def angle_consistency_filter(
     angles_a: jnp.ndarray, angles_b: jnp.ndarray, idx_b: jnp.ndarray,
     num_bins: int = 30, keep_top: int = 3,
