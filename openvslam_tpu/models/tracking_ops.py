@@ -106,6 +106,41 @@ def triangulate_pair_checked(
 
 
 @functools.partial(jax.jit, static_argnames=("max_dist",))
+def fuse_candidates_multi(
+    cam, T_cw_nb, lm_pos, lm_desc_i8, lm_valid,
+    kpt_desc_i8, kpt_xy_undist, kpt_valid, kpt_level,
+    radius_scale, scale_factors, lm_pred_level,
+    max_dist=M.HAMMING_DIST_THR_LOW,
+):
+    """fuse_candidates against B neighbor keyframes in ONE device call.
+
+    T_cw_nb (B,4,4); kpt_* carry a leading neighbor axis (B,K,...); the
+    landmark table is shared.  Returns (idx (B,L), dist (B,L)).  Padding
+    neighbors ride with kpt_valid=False and produce idx=-1 rows.
+
+    The mapping module's per-neighbor loop was ~2 device round-trips per
+    covisible target (10-20 per keyframe insertion — each an RTT on a
+    remote-TPU deployment); this is one dispatch + one download.  Uses the
+    XLA matcher composition (vmap over the Pallas matcher's ANY/blocked
+    operands is not supported by Mosaic).
+    """
+    def one(T_cw, desc, und, kvalid, klevel):
+        uv, depth, vis = project_landmarks(cam, T_cw, lm_pos, lm_valid)
+        lvl = jnp.clip(lm_pred_level, 0, scale_factors.shape[0] - 1)
+        radius = radius_scale * scale_factors[lvl]
+        gate = M.projection_gate(uv, vis, und, radius)
+        sgate = jnp.abs(klevel[None, :] - lm_pred_level[:, None]) <= 1
+        gate = gate & (sgate | (lm_pred_level < 0)[:, None])
+        return M.match_descriptors(
+            lm_desc_i8, desc, vis, kvalid, gate=gate,
+            max_dist=max_dist, ratio=None, cross_check=False,
+        )
+
+    return jax.vmap(one)(T_cw_nb, kpt_desc_i8, kpt_xy_undist,
+                         kpt_valid, kpt_level)
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist",))
 def fuse_candidates(
     cam, T_cw, lm_pos, lm_desc_i8, lm_valid,
     kpt_desc_i8, kpt_xy_undist, kpt_valid, kpt_level,

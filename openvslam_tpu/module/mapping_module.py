@@ -273,22 +273,28 @@ class MappingModule:
         desc[:n] = db.lm_desc_i8[lm_ids]
         valid[:n] = True
         pred = np.full(Lcap, -1, np.int32)
-        # loop-invariant device operands once, not per covisible target (the
-        # (4096,256) descriptor upload alone is ~1 MB per conversion)
-        pos_j, desc_j = jnp.asarray(pos), jnp.asarray(desc)
-        valid_j, pred_j = jnp.asarray(valid), jnp.asarray(pred)
-        sf_j = jnp.asarray(self.scale_factors)
+        # ALL covisible targets in ONE device call (padded to the configured
+        # cap so the program compiles once): 2 round-trips per keyframe
+        # insertion instead of 2 per neighbor
+        B = max(1, int(self.cfg.mapping.num_covisibilities_for_landmark_fusion))
+        nb_list = (targets + [targets[0]] * B)[:B]
+        poses = np.stack([db.kf_pose_cw[nb] for nb in nb_list]).astype(np.float32)
+        descs = np.stack([db.kf_desc_i8[nb] for nb in nb_list])
+        unds = np.stack([db.kf_xy_undist[nb] for nb in nb_list])
+        kvals = np.stack([db.kf_kpt_valid[nb] for nb in nb_list])
+        kvals[len(targets):] = False                      # padding neighbors
+        klvls = np.stack([db.kf_level[nb] for nb in nb_list])
+        idx_all = np.asarray(TO.fuse_candidates_multi(
+            self.cam, jnp.asarray(poses),
+            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
+            jnp.asarray(descs), jnp.asarray(unds),
+            jnp.asarray(kvals), jnp.asarray(klvls),
+            jnp.float32(3.0), jnp.asarray(self.scale_factors),
+            jnp.asarray(pred),
+        )[0])
         touched = set()
-        for nb in targets:
-            idx, dist = TO.fuse_candidates(
-                self.cam, jnp.asarray(db.kf_pose_cw[nb], jnp.float32),
-                pos_j, desc_j, valid_j,
-                jnp.asarray(db.kf_desc_i8[nb]), jnp.asarray(db.kf_xy_undist[nb]),
-                jnp.asarray(db.kf_kpt_valid[nb]), jnp.asarray(db.kf_level[nb]),
-                jnp.float32(3.0), sf_j,
-                pred_j,
-            )
-            idx = np.asarray(idx)
+        for b, nb in enumerate(targets):
+            idx = idx_all[b]
             for j in np.where(idx >= 0)[0]:
                 if j >= n:
                     continue

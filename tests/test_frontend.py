@@ -175,3 +175,44 @@ def test_frontend_mxu2_end_to_end(rng):
         np.asarray(kp_b.desc_u32)[both] ^ np.asarray(kp_ref.desc_u32)[both]
     ).sum(-1)
     assert np.median(ham) <= 24, np.quantile(ham, [0.5, 0.9])
+
+
+def test_fuse_candidates_multi_matches_single(rng):
+    """The batched multi-neighbor fuse must reproduce per-neighbor
+    fuse_candidates exactly (padding neighbors yield all -1)."""
+    import jax.numpy as jnp
+    from openvslam_tpu.camera import Perspective
+    from openvslam_tpu.models import tracking_ops as TO
+
+    cam = Perspective.create(fx=300.0, fy=300.0, cx=160.0, cy=120.0,
+                             cols=320, rows=240)
+    L, K, B = 256, 128, 3
+    lm_pos = jnp.asarray(rng.standard_normal((L, 3)) * 2 + [0, 0, 5],
+                         jnp.float32)
+    lm_desc = jnp.asarray(rng.integers(0, 2, (L, 256)), jnp.int8)
+    lm_valid = jnp.asarray(rng.random(L) > 0.1)
+    pred = jnp.asarray(rng.integers(-1, 4, L), jnp.int32)
+    sf = jnp.asarray([1.2**l for l in range(4)], jnp.float32)
+    poses, descs, unds, kvals, klvls = [], [], [], [], []
+    for b in range(B):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = rng.standard_normal(3) * 0.2
+        poses.append(T)
+        descs.append(rng.integers(0, 2, (K, 256)).astype(np.int8))
+        unds.append(rng.uniform(0, [320, 240], (K, 2)).astype(np.float32))
+        kvals.append(rng.random(K) > 0.1)
+        klvls.append(rng.integers(0, 4, K).astype(np.int32))
+    kvals[-1][:] = False                        # a fully-invalid "padding" row
+    idx_m, dist_m = TO.fuse_candidates_multi(
+        cam, jnp.asarray(np.stack(poses)), lm_pos, lm_desc, lm_valid,
+        jnp.asarray(np.stack(descs)), jnp.asarray(np.stack(unds)),
+        jnp.asarray(np.stack(kvals)), jnp.asarray(np.stack(klvls)),
+        jnp.float32(3.0), sf, pred)
+    for b in range(B):
+        idx_s, dist_s = TO.fuse_candidates(
+            cam, jnp.asarray(poses[b]), lm_pos, lm_desc, lm_valid,
+            jnp.asarray(descs[b]), jnp.asarray(unds[b]),
+            jnp.asarray(kvals[b]), jnp.asarray(klvls[b]),
+            jnp.float32(3.0), sf, pred)
+        np.testing.assert_array_equal(np.asarray(idx_m[b]), np.asarray(idx_s))
+    assert (np.asarray(idx_m[B - 1]) == -1).all()
