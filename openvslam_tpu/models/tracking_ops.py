@@ -75,6 +75,35 @@ def match_unmatched_robust(
 
 
 @jax.jit
+def triangulation_candidates_multi(
+    cam, T1, desc1, un1, brg1, ang1, und1, sig1,
+    T2s, desc2s, un2s, brg2s, ang2s, und2s, sig2s, epi_thr,
+):
+    """Robust match + orientation check + checked triangulation against B
+    neighbor keyframes in ONE device call (the mapping module's
+    create_new_landmarks loop was ~6 round-trips per covisible neighbor).
+
+    Query-side operands are (K,...); neighbor-side carry a leading (B,...)
+    axis (pad with un2s=False rows).  Returns (idx (B,K) matched neighbor
+    kpt per query kpt, X (B,K,3) triangulated world points aligned to query
+    keypoint slots, ok (B,K) acceptance).
+    """
+    def one(T2, d2, u2, b2, a2, uu2, s2):
+        E12 = essential_from_poses(T1, T2)
+        idx, dist = match_unmatched_robust(
+            desc1, un1, brg1, d2, u2, b2, E12, epi_thr)
+        idx = M.angle_consistency_filter(ang1, a2, idx)
+        kpt = jnp.clip(idx, 0)
+        X, ok = triangulate_pair_checked(
+            cam, T1, T2, brg1, b2[kpt], und1, uu2[kpt],
+            sig1, s2[kpt], idx >= 0,
+        )
+        return idx, X, ok
+
+    return jax.vmap(one)(T2s, desc2s, un2s, brg2s, ang2s, und2s, sig2s)
+
+
+@jax.jit
 def essential_from_poses(T1_cw, T2_cw):
     """E_12 with b1^T E b2 = 0 for bearings of cameras 1,2 (rel pose 1<-2)."""
     T12 = T1_cw @ se3.inverse(T2_cw)

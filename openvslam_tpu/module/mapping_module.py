@@ -163,12 +163,10 @@ class MappingModule:
         c1 = -T1[:3, :3].T @ T1[:3, 3]
         unmatched1 = (db.kf_lm_idx[kf] < 0) & db.kf_kpt_valid[kf]
         median_depth = self._median_scene_depth(kf)
-        # query-side operands once, not per neighbor
-        T1_j = jnp.asarray(T1, jnp.float32)
-        desc1_j = jnp.asarray(db.kf_desc_i8[kf])
-        un1_j = jnp.asarray(unmatched1)
-        brg1_j = jnp.asarray(db.kf_bearing[kf])
-        ang1_j = jnp.asarray(db.kf_angle[kf])
+        # baseline-gate the neighbor set on the host, then run robust match +
+        # orientation check + checked triangulation against ALL surviving
+        # neighbors in ONE device call (was ~6 round-trips per neighbor)
+        usable = []
         for nb in neighbors:
             T2 = db.kf_pose_cw[nb]
             c2 = -T2[:3, :3].T @ T2[:3, 3]
@@ -179,56 +177,46 @@ class MappingModule:
                     continue
             elif baseline < self.cfg.mapping.baseline_dist_thr_ratio * median_depth:
                 continue
-            E12 = TO.essential_from_poses(
-                T1_j, jnp.asarray(T2, jnp.float32)
-            )
-            unmatched2 = (db.kf_lm_idx[nb] < 0) & db.kf_kpt_valid[nb]
-            idx, dist = TO.match_unmatched_robust(
-                desc1_j, un1_j, brg1_j,
-                jnp.asarray(db.kf_desc_i8[nb]), jnp.asarray(unmatched2),
-                jnp.asarray(db.kf_bearing[nb]),
-                E12, jnp.float32(1e-2),
-            )
-            from ..ops import match as M
-            idx = M.angle_consistency_filter(
-                ang1_j, jnp.asarray(db.kf_angle[nb]), idx
-            )
-            idx = np.asarray(idx)
-            m1 = np.where(idx >= 0)[0]
-            if len(m1) == 0:
-                continue
-            m2 = idx[m1]
-            K = db.K
-            b1 = np.zeros((K, 3), np.float32); b1[:, 2] = 1
-            b2 = np.zeros((K, 3), np.float32); b2[:, 2] = 1
-            uv1 = np.zeros((K, 2), np.float32)
-            uv2 = np.zeros((K, 2), np.float32)
-            s1 = np.ones(K, np.float32)
-            s2 = np.ones(K, np.float32)
-            pmask = np.zeros(K, bool)
-            n = len(m1)
-            b1[:n] = db.kf_bearing[kf][m1]
-            b2[:n] = db.kf_bearing[nb][m2]
-            uv1[:n] = db.kf_xy_undist[kf][m1]
-            uv2[:n] = db.kf_xy_undist[nb][m2]
-            s1[:n] = self.sigma2[db.kf_level[kf][m1]]
-            s2[:n] = self.sigma2[db.kf_level[nb][m2]]
-            pmask[:n] = True
-            X, ok = TO.triangulate_pair_checked(
-                self.cam,
-                jnp.asarray(T1, jnp.float32), jnp.asarray(T2, jnp.float32),
-                jnp.asarray(b1), jnp.asarray(b2),
-                jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(pmask),
-            )
-            X = np.asarray(X)
-            ok = np.asarray(ok)
-            for j in np.where(ok[:n])[0]:
-                i1, i2 = int(m1[j]), int(m2[j])
+            usable.append(nb)
+        if not usable:
+            db.update_connections(kf)
+            return
+        B = max(1, int(self.num_covis_for_triangulation))
+        nb_list = (usable + [usable[0]] * B)[:B]
+        un2 = np.stack([
+            (db.kf_lm_idx[nb] < 0) & db.kf_kpt_valid[nb] for nb in nb_list])
+        un2[len(usable):] = False                         # padding neighbors
+        idx_all, X_all, ok_all = TO.triangulation_candidates_multi(
+            self.cam,
+            jnp.asarray(T1, jnp.float32),
+            jnp.asarray(db.kf_desc_i8[kf]), jnp.asarray(unmatched1),
+            jnp.asarray(db.kf_bearing[kf]), jnp.asarray(db.kf_angle[kf]),
+            jnp.asarray(db.kf_xy_undist[kf]),
+            jnp.asarray(self.sigma2[db.kf_level[kf]]),
+            jnp.asarray(np.stack([db.kf_pose_cw[nb] for nb in nb_list])
+                        .astype(np.float32)),
+            jnp.asarray(np.stack([db.kf_desc_i8[nb] for nb in nb_list])),
+            jnp.asarray(un2),
+            jnp.asarray(np.stack([db.kf_bearing[nb] for nb in nb_list])),
+            jnp.asarray(np.stack([db.kf_angle[nb] for nb in nb_list])),
+            jnp.asarray(np.stack([db.kf_xy_undist[nb] for nb in nb_list])),
+            jnp.asarray(np.stack([self.sigma2[db.kf_level[nb]]
+                                  for nb in nb_list])),
+            jnp.float32(1e-2),
+        )
+        idx_all = np.asarray(idx_all)
+        X_all = np.asarray(X_all)
+        ok_all = np.asarray(ok_all)
+        for b, nb in enumerate(usable):
+            for j in np.where(ok_all[b] & (idx_all[b] >= 0))[0]:
+                i1, i2 = int(j), int(idx_all[b][j])
+                # first-wins across neighbors (the sequential loop removed a
+                # landmarked keypoint from later matching; here the later
+                # match is simply skipped)
                 if db.kf_lm_idx[kf][i1] >= 0 or db.kf_lm_idx[nb][i2] >= 0:
                     continue
                 lm = db.add_landmark(
-                    X[j].astype(np.float32),
+                    X_all[b][j].astype(np.float32),
                     db.kf_desc_u32[kf][i1], db.kf_desc_i8[kf][i1], kf,
                 )
                 db.add_observation(lm, kf, i1)
