@@ -9,6 +9,7 @@ keyframe-insertion decision (SURVEY.md §3.2).
 """
 from __future__ import annotations
 
+import collections
 import enum
 from typing import Optional
 
@@ -58,6 +59,9 @@ class TrackingModule:
         self.frames_since_reloc = 1 << 30
         self._lm_cache = None      # device-resident local-map mirror
         self._peak_tracked = 0     # max inliers since the last keyframe
+        # recent accepted (frame_id, pose_cw) pairs for multi-step motion
+        # prediction in the pipelined feed (see track_fused_dispatch)
+        self._pose_hist: collections.deque = collections.deque(maxlen=4)
 
     # ------------------------------------------------------------------
     def track(self, frame: Frame) -> Optional[np.ndarray]:
@@ -125,6 +129,8 @@ class TrackingModule:
         self.last_kf_frame_id = f2.frame_id
         self.state = TrackerState.TRACKING
         self.velocity = np.eye(4, dtype=np.float32)
+        self._pose_hist.clear()
+        self._record_pose(f2)
         self.num_tracked = int(good.sum())
         if self.mapper is not None:
             self.mapper.after_initialization(kf1, kf2)
@@ -157,6 +163,8 @@ class TrackingModule:
         self.last_kf_frame_id = frame.frame_id
         self.state = TrackerState.TRACKING
         self.velocity = np.eye(4, dtype=np.float32)
+        self._pose_hist.clear()
+        self._record_pose(frame)
         self.num_tracked = int(has_depth.sum())
         if self.mapper is not None:
             self.mapper.after_stereo_initialization(kf)
@@ -337,6 +345,7 @@ class TrackingModule:
         self.num_tracked = num_inl
         self._peak_tracked = max(self._peak_tracked, num_inl)
         self.velocity = (frame.pose_cw @ np.linalg.inv(self.last_frame.pose_cw)).astype(np.float32)
+        self._record_pose(frame)
         self.frames_since_reloc += 1
         if self._new_keyframe_needed(frame):
             self._insert_keyframe(frame)
@@ -350,6 +359,43 @@ class TrackingModule:
         """Drive one frame through the fused TrackStep.  Preconditions:
         state == TRACKING with a last frame (the caller falls back to the
         classic path otherwise).  Returns (pose or None, Frame)."""
+        return self.track_fused_finish(self.track_fused_dispatch(
+            image_u8, frame_id, timestamp, step, mask, aux, lead=1))
+
+    def _record_pose(self, frame: Frame):
+        self._pose_hist.append((frame.frame_id, frame.pose_cw.copy()))
+
+    def _predict_pose(self, lf: Frame, lead: int) -> np.ndarray:
+        """Constant-velocity pose prediction ``lead`` frames past ``lf``.
+        For lead=2 (pipelined feed) the one-frame velocity must NOT be
+        applied twice: with pose estimates T_i = true_i·exp(d_i) that
+        prediction errs by ~3·d_{i-1} - 2·d_{i-2}, and the closed loop
+        (prediction -> match -> new estimate) amplifies estimation noise
+        ~2x every cycle until stage-1 matching collapses (measured: the
+        prediction-vs-final rotation error doubled every two frames).
+        Applying the TWO-frame displacement pose(i-1)·pose(i-3)^-1 ONCE
+        errs by ~2·d_{i-1} - d_{i-3} — the same noise amplification as
+        the reference's per-frame motion model, hence equally stable."""
+        if lead == 2:
+            tgt = lf.frame_id - 2
+            for fid, pose in self._pose_hist:
+                if fid == tgt:
+                    return (lf.pose_cw @ np.linalg.inv(pose)
+                            @ lf.pose_cw).astype(np.float32)
+        T_pred = lf.pose_cw
+        for _ in range(max(1, lead)):
+            T_pred = self.velocity @ T_pred
+        return T_pred.astype(np.float32)
+
+    def track_fused_dispatch(self, image_u8, frame_id: int, timestamp: float,
+                             step, mask=None, aux=None, lead: int = 1):
+        """Issue the fused device step WITHOUT blocking on its result (JAX
+        dispatch is asynchronous).  ``lead`` is how many frames ahead of
+        ``self.last_frame`` this image sits: the pipelined System feeds the
+        next frame before the current one's bookkeeping has run, so its
+        motion prediction extrapolates the constant-velocity model ``lead``
+        steps (lead=2 in steady-state pipelining, lead=1 unpipelined).
+        Returns an opaque in-flight handle for ``track_fused_finish``."""
         import jax.numpy as jnp
         db = self.map_db
         self._update_last_frame_landmarks()
@@ -383,7 +429,7 @@ class TrackingModule:
             hit = sorted_ids[posc] == cand
             loc_prev_slot[:len(cand)] = np.where(hit, order[posc], -1)
 
-        T_pred = (self.velocity @ lf.pose_cw).astype(np.float32)
+        T_pred = self._predict_pose(lf, int(lead))
         res = step.step(
             jnp.asarray(image_u8), mask, jnp.asarray(T_pred),
             jnp.asarray(prev_pos), jnp.asarray(prev_desc),
@@ -391,7 +437,28 @@ class TrackingModule:
             cache["pos"], cache["desc"], cache["valid"], cache["maxd"],
             jnp.asarray(loc_prev_slot), aux,
         )
-        res = jax.device_get(res)   # one transfer for the whole SoA
+        return {
+            "res": res, "frame_id": frame_id, "timestamp": timestamp,
+            "lm_ids": lm_ids, "n": n, "cand": cand, "n_loc": cache["n"],
+            "P": P, "L": step.lm_capacity,
+        }
+
+    def track_fused_finish(self, handle) -> Optional[np.ndarray]:
+        """Block on an in-flight fused step and run the host bookkeeping
+        (association, counters, velocity, keyframe decision).  Between a
+        pipelined dispatch and this finish the async mapper may have culled
+        or fused landmarks, so every stale landmark id is re-validated
+        against the live map before use (one-frame-stale-map semantics —
+        the same contract the reference's async mapping already grants)."""
+        import jax.numpy as jnp
+        db = self.map_db
+        lf = self.last_frame
+        frame_id = handle["frame_id"]
+        timestamp = handle["timestamp"]
+        lm_ids, n = handle["lm_ids"], handle["n"]
+        cand, n_loc = handle["cand"], handle["n_loc"]
+        P, L = handle["P"], handle["L"]
+        res = jax.device_get(handle["res"])   # one transfer for the whole SoA
         from ..models.track_step import unpack_bits_host
         frame = Frame(
             frame_id=frame_id, timestamp=timestamp,
@@ -416,10 +483,9 @@ class TrackingModule:
 
         # landmark bookkeeping (host, vectorized): slots -> real landmark ids
         src = res.kp_src.astype(np.int64)
-        n_loc = cache["n"]
         prev_tab = np.full(P, -1, np.int64)
         prev_tab[:n] = lm_ids
-        loc_tab = np.full(step.lm_capacity, -1, np.int64)
+        loc_tab = np.full(L, -1, np.int64)
         loc_tab[:n_loc] = cand[:n_loc]
         comb = np.concatenate([prev_tab, loc_tab])
         lm_of_kpt = np.where(src >= 0, comb[np.clip(src, 0, len(comb) - 1)], -1)
@@ -429,7 +495,9 @@ class TrackingModule:
         frame.lm_idx = lm_of_kpt.astype(np.int32)
         frame.outlier = (frame.lm_idx >= 0) & ~res.kp_inlier
         vis_np = res.loc_visible[:n_loc]
-        db.lm_n_visible[cand[:n_loc][vis_np]] += 1
+        vis_ids = cand[:n_loc][vis_np]
+        vis_ids = vis_ids[db.lm_valid[vis_ids]]   # culled since dispatch
+        db.lm_n_visible[vis_ids] += 1
         inl_lms = frame.lm_idx[(frame.lm_idx >= 0) & ~frame.outlier]
         db.lm_n_found[inl_lms] += 1
 
@@ -438,6 +506,7 @@ class TrackingModule:
         self._peak_tracked = max(self._peak_tracked, n2)
         self.velocity = (
             frame.pose_cw @ np.linalg.inv(lf.pose_cw)).astype(np.float32)
+        self._record_pose(frame)
         self.frames_since_reloc += 1
         if self._new_keyframe_needed(frame):
             self._insert_keyframe(frame)
@@ -539,6 +608,8 @@ class TrackingModule:
         frame.pose_cw = T_cur.astype(np.float32)
         self.state = TrackerState.TRACKING
         self.velocity = np.eye(4, dtype=np.float32)
+        self._pose_hist.clear()
+        self._record_pose(frame)
         self.num_tracked = num_inl
         self.frames_since_reloc = 0
         return frame.pose_cw

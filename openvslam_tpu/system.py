@@ -320,6 +320,118 @@ class System:
         self.trajectory.append((timestamp, None if pose is None else pose.copy()))
         return pose
 
+    # ------------------------------------------------------------------
+    # pipelined sequence feed: overlap host bookkeeping with device compute
+    # ------------------------------------------------------------------
+    def feed_sequence(self, items, kind: str = "monocular"):
+        """Software-pipelined sequence feed.  ``items`` yields per-frame
+        tuples — monocular ``(image, ts[, mask])``, stereo
+        ``(left, right, ts[, mask])``, RGBD ``(rgb, depth, ts[, mask])`` —
+        and this generator yields ``(timestamp, pose_cw or None)`` in order.
+
+        The per-call ``feed_*_frame`` API must finish frame N before it can
+        see frame N+1, so every frame pays a full dispatch->compute->fetch
+        round trip.  With the whole sequence visible, frame N+1's fused
+        device step is dispatched BEFORE frame N's result is fetched: the
+        host bookkeeping and map updates of frame N then overlap the device
+        compute (and, on remote-TPU links, the transfer RTT) of frame N+1.
+        The dispatched step sees the map as of frame N-1 — the same
+        one-frame-stale-map semantics the reference already grants by
+        running mapping in its own thread (SURVEY.md §2.3) — and its motion
+        prediction extrapolates the constant-velocity model two steps
+        (``lead=2``).  Any frame that leaves the common TRACKING path
+        (init, Lost, fused-step fallback) drains the pipeline and goes
+        through the classic per-frame ladder unchanged.
+        """
+        import time as _time
+        kind = kind.lower()
+        if kind not in ("monocular", "stereo", "rgbd"):
+            raise ValueError(f"unknown sequence kind: {kind}")
+        tr = self.tracker
+        inflight = None   # {"h","img","ts"} for the dispatched-not-finished frame
+
+        def _prepare(item):
+            """-> (gray_img, ts, mask_j, aux, orig_item)"""
+            if kind == "monocular":
+                image, ts = item[0], item[1]
+                mask = item[2] if len(item) > 2 else None
+                img = self._to_gray(image)
+                aux = None
+            elif kind == "stereo":
+                left, right, ts = item[0], item[1], item[2]
+                mask = item[3] if len(item) > 3 else None
+                img = self._to_gray(left)
+                aux = jnp.asarray(self._to_gray(right))
+            else:
+                rgb, depthmap, ts = item[0], item[1], item[2]
+                mask = item[3] if len(item) > 3 else None
+                img = self._to_gray(rgb)
+                aux = jnp.asarray(depthmap.astype(np.float32)
+                                  / max(self.cfg.depthmap_factor, 1e-9))
+            mask = mask if mask is not None else self._static_mask
+            mask_j = None if mask is None else jnp.asarray(mask, jnp.float32)
+            return img, ts, mask_j, aux, item
+
+        def _feed_classic(item):
+            if kind == "monocular":
+                return self.feed_monocular_frame(*item)
+            if kind == "stereo":
+                return self.feed_stereo_frame(*item)
+            return self.feed_RGBD_frame(*item)
+
+        def _finish(flight):
+            _t0 = _time.perf_counter()
+            with self.map_lock:
+                pose, frame = tr.track_fused_finish(flight["h"])
+            self._fused_frames += 1
+            self.track_times.append(_time.perf_counter() - _t0)
+            self._publish(frame, pose, image=flight["img"])
+            self.trajectory.append(
+                (flight["ts"], None if pose is None else pose.copy()))
+            return pose
+
+        for item in items:
+            img, ts, mask_j, aux, orig = _prepare(item)
+            if inflight is not None:
+                # dispatch frame i+1 against the (one-frame-stale) state of
+                # frame i-1, then finish frame i while the device works
+                h2 = fid2 = None
+                if self._use_fused():
+                    with self.map_lock:
+                        h2 = tr.track_fused_dispatch(
+                            img, self.frame_id, ts, self._track_step,
+                            mask_j, aux, lead=2)
+                    fid2 = self.frame_id
+                    self.frame_id += 1
+                pose = _finish(inflight)
+                yield inflight["ts"], pose
+                inflight = None
+                ok = (tr.state == TrackerState.TRACKING
+                      and tr.last_frame is not None
+                      and tr.last_frame.pose_cw is not None)
+                if h2 is not None:
+                    if ok:
+                        inflight = {"h": h2, "img": img, "ts": ts}
+                        continue
+                    # tracking left the common path mid-flight: the
+                    # dispatched step used a broken prediction — discard
+                    # its result and replay this frame classically
+                    self.frame_id = fid2
+            # pipeline empty: prime it (common TRACKING path) or fall back
+            if self._use_fused():
+                with self.map_lock:
+                    h = tr.track_fused_dispatch(
+                        img, self.frame_id, ts, self._track_step,
+                        mask_j, aux, lead=1)
+                self.frame_id += 1
+                inflight = {"h": h, "img": img, "ts": ts}
+            else:
+                pose = _feed_classic(orig)
+                yield ts, pose
+        if inflight is not None:
+            pose = _finish(inflight)
+            yield inflight["ts"], pose
+
     def enable_autosave(self, path: str, every_n_keyframes: int = 25):
         """Periodic async map snapshots (SURVEY.md §5.4 elastic recovery):
         every N new keyframes the map is serialized to `path` from a
