@@ -39,6 +39,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--sync-mapping", action="store_true",
                    help="run mapping inline with tracking (default: own "
                         "thread, the reference's 3-module concurrency)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="software-pipelined feeding (frame N+1's device "
+                        "step overlaps frame N's bookkeeping; recommended "
+                        "when the TPU is reached over a per-call-RTT link)")
     return p
 
 
@@ -91,6 +95,36 @@ def frame_gate(system) -> bool:
     if v is None:
         return True
     return v.wait_if_paused()
+
+
+def feed_loop(args, system, items, kind: str):
+    """Feed a sequence of per-frame tuples (see System.feed_sequence for the
+    shapes per kind).  Honors the viewer's playback gate each frame.  With
+    --pipeline the software-pipelined System.feed_sequence is used; the
+    classic per-frame API otherwise.  Returns per-frame wall times."""
+    times = []
+    if getattr(args, "pipeline", False):
+        def gated():
+            for it in items:
+                if not frame_gate(system):
+                    return
+                yield it
+        t_last = time.perf_counter()
+        for _ts, _pose in system.feed_sequence(gated(), kind=kind):
+            now = time.perf_counter()
+            times.append(now - t_last)
+            t_last = now
+        return times
+    feed = {"monocular": system.feed_monocular_frame,
+            "stereo": system.feed_stereo_frame,
+            "rgbd": system.feed_RGBD_frame}[kind]
+    for it in items:
+        if not frame_gate(system):
+            break
+        with Timer() as t:
+            feed(*it)
+        times.append(t.dt)
+    return times
 
 
 def finish(args, system, track_times):

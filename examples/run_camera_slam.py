@@ -2,7 +2,7 @@
 device fed in real time; pair with --viewer for the live web view."""
 import time
 
-from common import base_parser, build_system, finish, frame_gate, Timer
+from common import base_parser, build_system, feed_loop, finish
 
 
 def main():
@@ -22,23 +22,21 @@ def main():
         raise SystemExit(f"cannot open camera {args.cam_num}")
     cap.set(cv2.CAP_PROP_FRAME_WIDTH, cfg.camera.cols)
     cap.set(cv2.CAP_PROP_FRAME_HEIGHT, cfg.camera.rows)
-    times = []
-    n = 0
-    try:
+
+    def items():
+        n = 0
         while not args.max_frames or n < args.max_frames:
-            if not frame_gate(system):
-                break
             ok, frame = cap.read()
             if not ok:
-                break
+                return
             if frame.ndim == 3:
                 frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-            with Timer() as t:
-                system.feed_monocular_frame(frame, time.time())
-            times.append(t.dt)
+            yield frame, time.time()
             n += 1
+    try:
+        times = feed_loop(args, system, items(), "monocular")
     except KeyboardInterrupt:
-        pass
+        times = system.track_times
     cap.release()
     finish(args, system, times)
 

@@ -1,6 +1,6 @@
 """EuRoC MAV runner (ref example/run_euroc_slam.cc): stereo (with rectifier
 from the YAML StereoRectifier section) or monocular."""
-from common import base_parser, build_system, finish, frame_gate, Timer
+from common import base_parser, build_system, feed_loop, finish
 
 
 def main():
@@ -18,19 +18,18 @@ def main():
         from openvslam_tpu.utils.stereo_rectifier import StereoRectifier
         rectifier = StereoRectifier(cfg.camera, cfg.raw)
     seq = EurocSequence(args.data_dir, stereo=stereo)
-    times = []
-    for i in range(0, len(seq), args.frame_skip):
-        if not frame_gate(system):
-            break
-        ts, left, right = seq[i]
-        with Timer() as t:
+
+    def items():
+        for i in range(0, len(seq), args.frame_skip):
+            ts, left, right = seq[i]
             if stereo and right is not None:
                 if rectifier is not None:
                     left, right = rectifier.rectify(left, right)
-                system.feed_stereo_frame(left, right, ts)
-            else:
-                system.feed_monocular_frame(left, ts)
-        times.append(t.dt)
+                yield left, right, ts
+            elif not stereo:
+                yield left, ts
+    times = feed_loop(args, system, items(),
+                      "stereo" if stereo else "monocular")
     finish(args, system, times)
 
 

@@ -3,7 +3,7 @@ of images fed at the config fps.  Localization mode via --map-db-in."""
 import glob
 import os
 
-from common import base_parser, build_system, finish, frame_gate, Timer
+from common import base_parser, build_system, feed_loop, finish
 
 
 def main():
@@ -17,14 +17,9 @@ def main():
 
     files = sorted(glob.glob(os.path.join(args.image_dir, f"*.{args.ext}")))
     fps = cfg.camera.fps
-    times = []
-    for i in range(0, len(files), args.frame_skip):
-        if not frame_gate(system):
-            break
-        img = _imread_gray(files[i])
-        with Timer() as t:
-            system.feed_monocular_frame(img, i / fps)
-        times.append(t.dt)
+    items = ((_imread_gray(files[i]), i / fps)
+             for i in range(0, len(files), args.frame_skip))
+    times = feed_loop(args, system, items, "monocular")
     finish(args, system, times)
 
 

@@ -1,5 +1,5 @@
 """KITTI odometry runner (ref example/run_kitti_slam.cc): stereo or mono."""
-from common import base_parser, build_system, finish, frame_gate, Timer
+from common import base_parser, build_system, feed_loop, finish
 
 
 def main():
@@ -14,17 +14,16 @@ def main():
 
     stereo = cfg.camera.setup == SetupType.STEREO
     seq = KittiOdometrySequence(args.data_dir, stereo=stereo)
-    times = []
-    for i in range(0, len(seq), args.frame_skip):
-        if not frame_gate(system):
-            break
-        ts, left, right = seq[i]
-        with Timer() as t:
+
+    def items():
+        for i in range(0, len(seq), args.frame_skip):
+            ts, left, right = seq[i]
             if stereo and right is not None:
-                system.feed_stereo_frame(left, right, ts)
-            else:
-                system.feed_monocular_frame(left, ts)
-        times.append(t.dt)
+                yield left, right, ts
+            elif not stereo:
+                yield left, ts
+    times = feed_loop(args, system, items(),
+                      "stereo" if stereo else "monocular")
     finish(args, system, times)
 
 

@@ -25,6 +25,8 @@ def main():
     p.add_argument("--traj-out", default=None)
     p.add_argument("--viewer-out", default=None,
                    help="export a self-contained HTML map viewer")
+    p.add_argument("--pipeline", action="store_true",
+                   help="software-pipelined feeding (System.feed_sequence)")
     args = p.parse_args()
 
     from openvslam_tpu.config import Config
@@ -60,13 +62,26 @@ def main():
     system = System(cfg)
     system.startup()
     t_track = []
-    for i in range(args.frames):
-        t0 = time.perf_counter()
+    if args.pipeline:
         if args.stereo:
-            system.feed_stereo_frame(images[i], rights[i], i / 20.0)
+            items = ((images[i], rights[i], i / 20.0)
+                     for i in range(args.frames))
         else:
-            system.feed_monocular_frame(images[i], i / 20.0)
-        t_track.append(time.perf_counter() - t0)
+            items = ((images[i], i / 20.0) for i in range(args.frames))
+        t_last = time.perf_counter()
+        for _ in system.feed_sequence(
+                items, kind="stereo" if args.stereo else "monocular"):
+            now = time.perf_counter()
+            t_track.append(now - t_last)
+            t_last = now
+    else:
+        for i in range(args.frames):
+            t0 = time.perf_counter()
+            if args.stereo:
+                system.feed_stereo_frame(images[i], rights[i], i / 20.0)
+            else:
+                system.feed_monocular_frame(images[i], i / 20.0)
+            t_track.append(time.perf_counter() - t0)
     system.shutdown()
 
     ts, est_poses, mask = system.tracked_poses()

@@ -1,6 +1,6 @@
 """TUM RGB-D runner (ref example/run_tum_rgbd_slam.cc): monocular or RGBD
 depending on the config's Camera.setup."""
-from common import base_parser, build_system, finish, frame_gate, Timer
+from common import base_parser, build_system, feed_loop, finish
 
 
 def main():
@@ -14,17 +14,16 @@ def main():
 
     seq = TumRgbdSequence(args.data_dir)
     rgbd = cfg.camera.setup == SetupType.RGBD
-    times = []
-    for i in range(0, len(seq), args.frame_skip):
-        if not frame_gate(system):
-            break
-        ts, img, depth = seq[i]
-        with Timer() as t:
+
+    def items():
+        for i in range(0, len(seq), args.frame_skip):
+            ts, img, depth = seq[i]
             if rgbd and depth is not None:
-                system.feed_RGBD_frame(img, depth, ts)
-            else:
-                system.feed_monocular_frame(img, ts)
-        times.append(t.dt)
+                yield img, depth, ts
+            elif not rgbd:
+                yield img, ts
+    times = feed_loop(args, system, items(),
+                      "rgbd" if rgbd else "monocular")
     finish(args, system, times)
 
 

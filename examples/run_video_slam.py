@@ -1,7 +1,7 @@
 """Video-file runner (ref example/run_video_slam.cc): decodes a video with
 OpenCV and feeds frames at their timestamps.  Localization mode via
 --map-db-in.  Requires opencv-python (baked in this image)."""
-from common import base_parser, build_system, finish, frame_gate, Timer
+from common import base_parser, build_system, feed_loop, finish
 
 
 def main():
@@ -19,23 +19,20 @@ def main():
     if not cap.isOpened():
         raise SystemExit(f"cannot open {args.video}")
     fps = cap.get(cv2.CAP_PROP_FPS) or cfg.camera.fps
-    times = []
-    i = -1
-    while True:
-        if not frame_gate(system):
-            break
-        ok, frame = cap.read()
-        if not ok:
-            break
-        i += 1
-        if i % args.frame_skip:
-            continue
-        ts = args.start_time + i / fps
-        if frame.ndim == 3:
-            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-        with Timer() as t:
-            system.feed_monocular_frame(frame, ts)
-        times.append(t.dt)
+
+    def items():
+        i = -1
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                return
+            i += 1
+            if i % args.frame_skip:
+                continue
+            if frame.ndim == 3:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            yield frame, args.start_time + i / fps
+    times = feed_loop(args, system, items(), "monocular")
     cap.release()
     finish(args, system, times)
 
