@@ -70,6 +70,27 @@ class OrbFrontend:
         self.scales = pyramid.scale_factors(num_levels, scale_factor)
         self._extract = jax.jit(self._extract_impl)
 
+    _shared_cache: dict = {}
+
+    @classmethod
+    def shared(cls, rows: int, cols: int, max_keypts: int = 2048,
+               num_levels: int = 8, scale_factor: float = 1.2,
+               ini_fast_thr: float = 20.0, min_fast_thr: float = 7.0,
+               cell: int = 32) -> "OrbFrontend":
+        """Process-wide instance cache.  The frontend is stateless (geometry
+        + compiled programs), so Systems with identical feature settings can
+        share one — without this, every System re-jits the extractor (the
+        jit cache is per-instance), which costs a full remote compile per
+        session on tunnel-attached TPUs."""
+        key = (rows, cols, max_keypts, num_levels, scale_factor,
+               ini_fast_thr, min_fast_thr, cell)
+        inst = cls._shared_cache.get(key)
+        if inst is None:
+            inst = cls(rows, cols, max_keypts, num_levels, scale_factor,
+                       ini_fast_thr, min_fast_thr, cell)
+            cls._shared_cache[key] = inst
+        return inst
+
     def extract(self, image_u8: jnp.ndarray, mask: jnp.ndarray | None = None) -> Keypoints:
         if mask is None:
             mask = jnp.ones((), jnp.float32)  # sentinel: no mask

@@ -94,6 +94,28 @@ class TrackStep:
             cam, stereo=mode != "mono", jit=False)
         self.step = jax.jit(self._impl)
 
+    _shared_cache: dict = {}
+
+    @classmethod
+    def shared(cls, cam, frontend: OrbFrontend, lm_capacity: int = 4096,
+               mode: str = "mono") -> "TrackStep":
+        """Process-wide instance cache keyed by the camera's serialized spec
+        + frontend identity + capacities.  A TrackStep is stateless, so
+        Systems with equal cameras/feature settings share one compiled
+        program instead of re-jitting per session (a full remote compile on
+        tunnel-attached TPUs)."""
+        from ..camera.base import camera_to_config
+        spec = tuple(sorted(camera_to_config(cam).items()))
+        fe = (frontend.rows, frontend.cols, frontend.capacity,
+              frontend.num_levels, frontend.scale_factor,
+              frontend.ini_fast_thr, frontend.min_fast_thr, frontend.cell)
+        key = (spec, fe, lm_capacity, mode)
+        inst = cls._shared_cache.get(key)
+        if inst is None:
+            inst = cls(cam, frontend, lm_capacity, mode)
+            cls._shared_cache[key] = inst
+        return inst
+
     def _impl(self, image_u8, mask, T_pred,
               prev_pos, prev_desc_u32, prev_valid, prev_level,
               loc_pos, loc_desc, loc_valid, loc_maxd, loc_prev_slot,

@@ -437,6 +437,14 @@ class TrackingModule:
             cache["pos"], cache["desc"], cache["valid"], cache["maxd"],
             jnp.asarray(loc_prev_slot), aux,
         )
+        # start the device->host copy as soon as the step completes, so the
+        # blocking fetch in track_fused_finish finds the data already local
+        # (on remote-TPU links this hides a full round trip per frame)
+        try:
+            for x in res:
+                x.copy_to_host_async()
+        except (AttributeError, TypeError):
+            pass
         return {
             "res": res, "frame_id": frame_id, "timestamp": timestamp,
             "lm_ids": lm_ids, "n": n, "cand": cand, "n_loc": cache["n"],

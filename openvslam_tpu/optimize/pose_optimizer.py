@@ -36,8 +36,33 @@ def _use_pallas_poselm() -> bool:
     return jax.default_backend() != "cpu"
 
 
+_SHARED_JITTED: dict = {}
+
+
 def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
                         iters_per_round: int = 10, jit: bool = True):
+    """Memoizing wrapper over the factory below: jitted optimizers are
+    cached per (camera spec, schedule) so Systems with equal cameras share
+    one compiled program instead of re-jitting per session (a full remote
+    compile on tunnel-attached TPUs).  Non-jit (composable) requests are
+    not cached — they are traced into the caller's program anyway."""
+    if not jit:
+        return _make_pose_optimizer(cam, stereo, num_rounds,
+                                    iters_per_round, jit=False)
+    from ..camera.base import camera_to_config
+    key = (tuple(sorted(camera_to_config(cam).items())),
+           bool(stereo), int(num_rounds), int(iters_per_round),
+           _use_pallas_poselm())
+    fn = _SHARED_JITTED.get(key)
+    if fn is None:
+        fn = _make_pose_optimizer(cam, stereo, num_rounds,
+                                  iters_per_round, jit=True)
+        _SHARED_JITTED[key] = fn
+    return fn
+
+
+def _make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
+                         iters_per_round: int = 10, jit: bool = True):
     """Build a jitted pose optimizer for one camera model.
 
     Returned fn(T_init (4,4), X_w (N,3), obs (N,2|3), sigma2 (N,), mask (N,))

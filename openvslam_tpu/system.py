@@ -47,7 +47,7 @@ class System:
                  async_mapping: bool = False):
         self.cfg = cfg
         self.cam = cfg.camera
-        self.frontend = OrbFrontend(
+        self.frontend = OrbFrontend.shared(
             rows=self.cam.rows, cols=self.cam.cols,
             max_keypts=cfg.feature.max_num_keypts,
             num_levels=cfg.feature.num_levels,
@@ -108,7 +108,7 @@ class System:
             from .models.track_step import TrackStep
             mode = {SetupType.MONOCULAR: "mono", SetupType.STEREO: "stereo",
                     SetupType.RGBD: "rgbd"}.get(self.cam.setup, "mono")
-            self._track_step = TrackStep(
+            self._track_step = TrackStep.shared(
                 self.cam, self.frontend,
                 lm_capacity=TrackingModule.LOCAL_LM_CAP, mode=mode,
             )

@@ -60,22 +60,29 @@ def main():
     assert sum(tracked) >= 0.9 * n - 2 and ate < 0.10
 
     # --- pipelined sequence feed (hides the tunnel RTT) ------------------
+    # (shares the compiled TrackStep/frontend with the System above via the
+    # .shared() caches, so no recompilation distorts the timing)
     s2 = System(cfg)
     s2.startup()
-    t0 = time.perf_counter()
-    out = list(s2.feed_sequence(
-        ((imgs[i], i / 20.0) for i in range(n)), kind="monocular"))
-    wall = time.perf_counter() - t0
+    out, ytimes = [], []
+    t_last = time.perf_counter()
+    for ts_pose in s2.feed_sequence(
+            ((imgs[i], i / 20.0) for i in range(n)), kind="monocular"):
+        now = time.perf_counter()
+        ytimes.append(now - t_last)
+        t_last = now
+        out.append(ts_pose)
     s2.shutdown()
     tracked2 = [p is not None for _, p in out]
     idx2 = [i for i in range(n) if tracked2[i]]
     ce2 = np.stack([-out[i][1][:3, :3].T @ out[i][1][:3, 3] for i in idx2])
     cg2 = np.stack([-gt[i][:3, :3].T @ gt[i][:3, 3] for i in idx2])
     ate2 = evaluate.ate_rmse(ce2, cg2, align="sim3")
+    yt = np.array(ytimes[5:])
     print(f"pipelined: tracked {sum(tracked2)}/{n}; ATE(sim3) {ate2:.4f} m; "
-          f"{wall/n*1000:.1f} ms/frame amortized "
-          f"({n/wall:.1f} fps via tunnel, fused {s2._fused_frames})",
-          flush=True)
+          f"median frame {np.median(yt)*1000:.1f} ms "
+          f"({1.0/np.median(yt):.1f} fps via tunnel, "
+          f"fused {s2._fused_frames})", flush=True)
     assert sum(tracked2) >= 0.9 * n - 2 and ate2 < 0.10
     print("SYSTEM TPU SMOKE PASS", flush=True)
 
