@@ -107,6 +107,52 @@ def test_trajectory_state_consistent(runs):
             np.testing.assert_allclose(p_y, p_s)
 
 
+def test_rgbd_pipelined():
+    """feed_sequence kind='rgbd' on the fronto-parallel plane scene (the
+    same setup as test_stereo_rgbd_e2e): metric SE3 ATE, most frames fused."""
+    cfg = Config.from_dict({
+        "Camera": {
+            "name": "synthetic", "setup": "rgbd", "model": "perspective",
+            "fx": 350.0, "fy": 350.0, "cx": 208.0, "cy": 160.0,
+            "cols": 416, "rows": 320, "fps": 10,
+            "focal_x_baseline": 350.0 * 0.1, "depth_threshold": 30.0,
+            "depthmap_factor": 1.0,
+        },
+        "Feature": {"max_num_keypts": 600, "num_levels": 4,
+                    "scale_factor": 1.2},
+        "LoopDetector": {"enabled": False},
+    })
+    cam = cfg.camera
+    rng = np.random.default_rng(5)
+    scene = synthetic.PlaneSceneRenderer(
+        rng, x_range=(-4, 12), y_range=(-5, 5), plane_z=7.0,
+        rows=cam.rows, cols=cam.cols,
+    )
+    xs = np.linspace(0.0, 6.0, 30)
+    poses = np.stack([synthetic.lookat_pose_cw((x, 0, 0), (x, 0, 7))
+                      for x in xs])
+
+    def items():
+        for i in range(len(poses)):
+            img = scene.render(cam, poses[i])
+            c = -poses[i][:3, :3].T @ poses[i][:3, 3]
+            depthmap = np.full((cam.rows, cam.cols), 7.0 - c[2], np.float32)
+            yield img, depthmap, i / 10.0
+
+    s = System(cfg)
+    s.startup()
+    out = list(s.feed_sequence(items(), kind="rgbd"))
+    s.shutdown()
+    tracked = sum(p is not None for _, p in out)
+    assert tracked > 0.9 * len(poses), tracked
+    assert s._fused_frames > 0.6 * len(poses)
+    idx = [i for i, (_, p) in enumerate(out) if p is not None]
+    est = np.stack([-out[i][1][:3, :3].T @ out[i][1][:3, 3] for i in idx])
+    gt = np.stack([-poses[i][:3, :3].T @ poses[i][:3, 3] for i in idx])
+    ate = evaluate.ate_rmse(est, gt, align="se3")
+    assert ate < 0.08, f"rgbd pipelined SE3 ATE {ate:.3f} m"
+
+
 def test_pipeline_survives_lost_and_reinit():
     """Blank frames mid-sequence force the Lost path: the pipeline must
     drain, fall back to the classic ladder, and keep yielding in order."""
