@@ -63,7 +63,7 @@ class MultiSessionRunner:
             s.shutdown()
 
     def run(self, frame_iters: Sequence, joint_ba_every: int = 0,
-            joint_ba_iters: int = 8) -> List[List[bool]]:
+            joint_ba_iters: int = 8, pipeline: bool = False) -> List[List[bool]]:
         """Round-robin the sessions' frame streams until all are exhausted.
 
         frame_iters[i] yields the argument tuple for session i's feed method
@@ -73,23 +73,38 @@ class MultiSessionRunner:
         joint_ba_every: if >0, run the pooled distributed BA every that many
         total fed frames (and once at the end).  Returns per-session lists of
         per-frame tracked flags.
+
+        pipeline: drive each session through System.feed_sequence and
+        interleave the generators — session i's device step then overlaps
+        the OTHER sessions' host bookkeeping on top of feed_sequence's own
+        one-frame overlap (a K-deep software pipeline across sessions; by
+        the time the round-robin returns to a session, its in-flight result
+        has usually finished computing and copied back).
         """
         self.startup()
-        iters = [iter(f) for f in frame_iters]
-        feeds = [self._feed_fn(s) for s in self.systems]
         tracked: List[List[bool]] = [[] for _ in self.systems]
-        live = [True] * len(iters)
         total = 0
+        if pipeline:
+            streams = [
+                s.feed_sequence(iter(f), kind=self._kind(s))
+                for s, f in zip(self.systems, frame_iters)
+            ]
+        else:
+            feeds = [self._feed_fn(s) for s in self.systems]
+            iters = [iter(f) for f in frame_iters]
+        live = [True] * len(self.systems)
         while any(live):
-            for i, it in enumerate(iters):
+            for i in range(len(self.systems)):
                 if not live[i]:
                     continue
                 try:
-                    args = next(it)
+                    if pipeline:
+                        _ts, pose = next(streams[i])
+                    else:
+                        pose = feeds[i](*next(iters[i]))
                 except StopIteration:
                     live[i] = False
                     continue
-                pose = feeds[i](*args)
                 tracked[i].append(pose is not None)
                 total += 1
                 if joint_ba_every and total % joint_ba_every == 0:
@@ -97,6 +112,15 @@ class MultiSessionRunner:
         if joint_ba_every:
             self.joint_bundle_adjust(iters=joint_ba_iters)
         return tracked
+
+    @staticmethod
+    def _kind(system) -> str:
+        setup = system.cam.setup
+        if setup == SetupType.STEREO:
+            return "stereo"
+        if setup == SetupType.RGBD:
+            return "rgbd"
+        return "monocular"
 
     @staticmethod
     def _feed_fn(system):

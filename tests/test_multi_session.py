@@ -175,6 +175,35 @@ def _stereo_frames(cam, seed, n=12, x0=0.0):
             for i in range(n)], poses
 
 
+def test_pipelined_multi_session():
+    """run(pipeline=True): the K feed_sequence generators interleave (K-deep
+    cross-session pipeline) with the same tracking quality and a working
+    pooled BA on top."""
+    systems, frames, all_poses = [], [], []
+    for i in range(3):
+        cfg, s = _make_system()
+        fr, poses = _session_frames(s.cam, seed=20 + i)
+        systems.append(s)
+        frames.append(fr)
+        all_poses.append(poses)
+    runner = MultiSessionRunner(systems, mesh=make_mesh(8))
+    tracked = runner.run(frames, joint_ba_every=30, joint_ba_iters=4,
+                         pipeline=True)
+    runner.shutdown()
+    for i, t in enumerate(tracked):
+        t = np.array(t)
+        assert len(t) == len(frames[i])
+        assert t.any(), f"session {i} never initialized"
+        first = int(np.argmax(t))
+        assert t[first:].mean() > 0.8, f"session {i}: {t}"
+    assert runner.joint_ba_runs >= 1
+    for i, s in enumerate(systems):
+        assert s._fused_frames > 0, f"session {i} never pipelined"
+        assert s.map_db.n_kfs >= 2
+        for k in s.map_db.valid_kf_ids():
+            assert np.isfinite(s.map_db.kf_pose_cw[int(k)]).all()
+
+
 def test_stereo_multi_session_pooled_ba():
     """All-stereo sessions pool with stereo (u, v, u_right) edges — the
     KITTI 00+02+05 configuration (ref: stereo reprojection edges in BA)."""
