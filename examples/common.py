@@ -43,6 +43,9 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="software-pipelined feeding (frame N+1's device "
                         "step overlaps frame N's bookkeeping; recommended "
                         "when the TPU is reached over a per-call-RTT link)")
+    p.add_argument("--pipeline-depth", type=int, default=1,
+                   help="frames kept in flight with --pipeline; raise to "
+                        "~ceil(link_RTT / frame_work) on remote-TPU links")
     return p
 
 
@@ -110,7 +113,9 @@ def feed_loop(args, system, items, kind: str):
                     return
                 yield it
         t_last = time.perf_counter()
-        for _ts, _pose in system.feed_sequence(gated(), kind=kind):
+        for _ts, _pose in system.feed_sequence(
+                gated(), kind=kind,
+                depth=getattr(args, "pipeline_depth", 1)):
             now = time.perf_counter()
             times.append(now - t_last)
             t_last = now

@@ -59,9 +59,10 @@ class TrackingModule:
         self.frames_since_reloc = 1 << 30
         self._lm_cache = None      # device-resident local-map mirror
         self._peak_tracked = 0     # max inliers since the last keyframe
+        self._fetch_pool = None    # lazy result-fetch worker (fused path)
         # recent accepted (frame_id, pose_cw) pairs for multi-step motion
         # prediction in the pipelined feed (see track_fused_dispatch)
-        self._pose_hist: collections.deque = collections.deque(maxlen=4)
+        self._pose_hist: collections.deque = collections.deque(maxlen=8)
 
     # ------------------------------------------------------------------
     def track(self, frame: Frame) -> Optional[np.ndarray]:
@@ -175,8 +176,15 @@ class TrackingModule:
     # ------------------------------------------------------------------
     def _update_last_frame_landmarks(self):
         lf = self.last_frame
-        for i in np.where(lf.lm_idx >= 0)[0]:
-            lf.lm_idx[i] = self.map_db.resolve_replaced(int(lf.lm_idx[i]))
+        db = self.map_db
+        ids = np.where(lf.lm_idx >= 0)[0]
+        if not len(ids):
+            return
+        lm = lf.lm_idx[ids]
+        # fast path: resolve_replaced is the identity for live landmarks, so
+        # only walk replacement chains for the (rare) invalidated entries
+        for j in np.where(~db.lm_valid[lm])[0]:
+            lf.lm_idx[ids[j]] = db.resolve_replaced(int(lm[j]))
 
     def _pose_optimize(self, frame: Frame, T_init: np.ndarray):
         obs_mask = (frame.lm_idx >= 0) & frame.valid
@@ -360,24 +368,25 @@ class TrackingModule:
         state == TRACKING with a last frame (the caller falls back to the
         classic path otherwise).  Returns (pose or None, Frame)."""
         return self.track_fused_finish(self.track_fused_dispatch(
-            image_u8, frame_id, timestamp, step, mask, aux, lead=1))
+            image_u8, frame_id, timestamp, step, mask, aux))
 
     def _record_pose(self, frame: Frame):
         self._pose_hist.append((frame.frame_id, frame.pose_cw.copy()))
 
     def _predict_pose(self, lf: Frame, lead: int) -> np.ndarray:
         """Constant-velocity pose prediction ``lead`` frames past ``lf``.
-        For lead=2 (pipelined feed) the one-frame velocity must NOT be
-        applied twice: with pose estimates T_i = true_i·exp(d_i) that
-        prediction errs by ~3·d_{i-1} - 2·d_{i-2}, and the closed loop
-        (prediction -> match -> new estimate) amplifies estimation noise
-        ~2x every cycle until stage-1 matching collapses (measured: the
-        prediction-vs-final rotation error doubled every two frames).
-        Applying the TWO-frame displacement pose(i-1)·pose(i-3)^-1 ONCE
-        errs by ~2·d_{i-1} - d_{i-3} — the same noise amplification as
-        the reference's per-frame motion model, hence equally stable."""
-        if lead == 2:
-            tgt = lf.frame_id - 2
+        For lead>=2 (pipelined feed) the one-frame velocity must NOT be
+        applied repeatedly: with pose estimates T_i = true_i·exp(d_i) that
+        prediction errs by ~3·d_{i-1} - 2·d_{i-2} (worse at higher lead),
+        and the closed loop (prediction -> match -> new estimate) amplifies
+        estimation noise ~2x every cycle until stage-1 matching collapses
+        (measured: the prediction-vs-final rotation error doubled every two
+        frames).  Applying the LEAD-frame displacement
+        pose(i-1)·pose(i-1-lead)^-1 ONCE errs by ~2·d_{i-1} - d_{i-1-lead}
+        — the same noise amplification as the reference's per-frame motion
+        model, hence equally stable at any pipeline depth."""
+        if lead >= 2:
+            tgt = lf.frame_id - lead
             for fid, pose in self._pose_hist:
                 if fid == tgt:
                     return (lf.pose_cw @ np.linalg.inv(pose)
@@ -388,13 +397,12 @@ class TrackingModule:
         return T_pred.astype(np.float32)
 
     def track_fused_dispatch(self, image_u8, frame_id: int, timestamp: float,
-                             step, mask=None, aux=None, lead: int = 1):
+                             step, mask=None, aux=None):
         """Issue the fused device step WITHOUT blocking on its result (JAX
-        dispatch is asynchronous).  ``lead`` is how many frames ahead of
-        ``self.last_frame`` this image sits: the pipelined System feeds the
-        next frame before the current one's bookkeeping has run, so its
-        motion prediction extrapolates the constant-velocity model ``lead``
-        steps (lead=2 in steady-state pipelining, lead=1 unpipelined).
+        dispatch is asynchronous).  The motion prediction extrapolates the
+        constant-velocity model ``frame_id - last_frame.frame_id`` steps —
+        1 unpipelined, depth+1 in the pipelined System feed, which
+        dispatches frames before earlier ones' bookkeeping has run.
         Returns an opaque in-flight handle for ``track_fused_finish``."""
         import jax.numpy as jnp
         db = self.map_db
@@ -429,7 +437,7 @@ class TrackingModule:
             hit = sorted_ids[posc] == cand
             loc_prev_slot[:len(cand)] = np.where(hit, order[posc], -1)
 
-        T_pred = self._predict_pose(lf, int(lead))
+        T_pred = self._predict_pose(lf, max(1, frame_id - lf.frame_id))
         res = step.step(
             jnp.asarray(image_u8), mask, jnp.asarray(T_pred),
             jnp.asarray(prev_pos), jnp.asarray(prev_desc),
@@ -437,16 +445,29 @@ class TrackingModule:
             cache["pos"], cache["desc"], cache["valid"], cache["maxd"],
             jnp.asarray(loc_prev_slot), aux,
         )
-        # start the device->host copy as soon as the step completes, so the
-        # blocking fetch in track_fused_finish finds the data already local
-        # (on remote-TPU links this hides a full round trip per frame)
+        # Result readback, tuned for remote-TPU tunnels (harmless locally):
+        # 1. copy_to_host_async on every output at dispatch — the copies
+        #    stream back ~one link round trip after the step completes, and
+        #    later np.asarray calls hit that host-side cache (~0.2 ms)
+        #    instead of doing a cold ~30 ms fetch EACH;
+        # 2. the blocking np.asarray pass runs on a background worker, so
+        #    the residual wait (compute + RTT after dispatch) never occupies
+        #    the tracking thread — it overlaps pipelined frames and other
+        #    sessions' work.
         try:
             for x in res:
                 x.copy_to_host_async()
         except (AttributeError, TypeError):
             pass
+        if self._fetch_pool is None:
+            import concurrent.futures
+            self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="track-fetch")
+        fetch = self._fetch_pool.submit(
+            lambda: type(res)(*[np.asarray(x) for x in res]))
         return {
-            "res": res, "frame_id": frame_id, "timestamp": timestamp,
+            "fetch": fetch,
+            "frame_id": frame_id, "timestamp": timestamp,
             "lm_ids": lm_ids, "n": n, "cand": cand, "n_loc": cache["n"],
             "P": P, "L": step.lm_capacity,
         }
@@ -466,7 +487,7 @@ class TrackingModule:
         lm_ids, n = handle["lm_ids"], handle["n"]
         cand, n_loc = handle["cand"], handle["n_loc"]
         P, L = handle["P"], handle["L"]
-        res = jax.device_get(handle["res"])   # one transfer for the whole SoA
+        res = handle["fetch"].result()   # np arrays, fetched by the worker
         from ..models.track_step import unpack_bits_host
         frame = Frame(
             frame_id=frame_id, timestamp=timestamp,

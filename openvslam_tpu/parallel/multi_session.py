@@ -63,7 +63,8 @@ class MultiSessionRunner:
             s.shutdown()
 
     def run(self, frame_iters: Sequence, joint_ba_every: int = 0,
-            joint_ba_iters: int = 8, pipeline: bool = False) -> List[List[bool]]:
+            joint_ba_iters: int = 8, pipeline: bool = False,
+            pipeline_depth: int = 1) -> List[List[bool]]:
         """Round-robin the sessions' frame streams until all are exhausted.
 
         frame_iters[i] yields the argument tuple for session i's feed method
@@ -86,7 +87,8 @@ class MultiSessionRunner:
         total = 0
         if pipeline:
             streams = [
-                s.feed_sequence(iter(f), kind=self._kind(s))
+                s.feed_sequence(iter(f), kind=self._kind(s),
+                                depth=pipeline_depth)
                 for s, f in zip(self.systems, frame_iters)
             ]
         else:

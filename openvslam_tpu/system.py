@@ -323,7 +323,7 @@ class System:
     # ------------------------------------------------------------------
     # pipelined sequence feed: overlap host bookkeeping with device compute
     # ------------------------------------------------------------------
-    def feed_sequence(self, items, kind: str = "monocular"):
+    def feed_sequence(self, items, kind: str = "monocular", depth: int = 1):
         """Software-pipelined sequence feed.  ``items`` yields per-frame
         tuples — monocular ``(image, ts[, mask])``, stereo
         ``(left, right, ts[, mask])``, RGBD ``(rgb, depth, ts[, mask])`` —
@@ -331,24 +331,31 @@ class System:
 
         The per-call ``feed_*_frame`` API must finish frame N before it can
         see frame N+1, so every frame pays a full dispatch->compute->fetch
-        round trip.  With the whole sequence visible, frame N+1's fused
-        device step is dispatched BEFORE frame N's result is fetched: the
-        host bookkeeping and map updates of frame N then overlap the device
-        compute (and, on remote-TPU links, the transfer RTT) of frame N+1.
-        The dispatched step sees the map as of frame N-1 — the same
-        one-frame-stale-map semantics the reference already grants by
-        running mapping in its own thread (SURVEY.md §2.3) — and its motion
-        prediction extrapolates the constant-velocity model two steps
-        (``lead=2``).  Any frame that leaves the common TRACKING path
+        round trip.  With the whole sequence visible, up to ``depth`` fused
+        device steps stay in flight: frame N+depth is dispatched BEFORE
+        frame N's result is fetched, so frame N's host bookkeeping and map
+        updates overlap the device compute (and, on remote-TPU links, the
+        transfer RTT) of the frames behind it.  A dispatched step sees the
+        map as of ``depth`` frames ago — the same stale-map semantics the
+        reference already grants by running mapping in its own thread
+        (SURVEY.md §2.3) — and its motion prediction applies the
+        (depth+1)-frame displacement once (see _predict_pose for why the
+        velocity must not be extrapolated repeatedly).  depth=1 suffices
+        when the TPU is local; raise it to ~ceil(link_RTT / frame_work) on
+        tunnel deployments.  Any frame that leaves the common TRACKING path
         (init, Lost, fused-step fallback) drains the pipeline and goes
         through the classic per-frame ladder unchanged.
         """
+        import collections as _collections
         import time as _time
         kind = kind.lower()
         if kind not in ("monocular", "stereo", "rgbd"):
             raise ValueError(f"unknown sequence kind: {kind}")
+        depth = max(1, int(depth))
         tr = self.tracker
-        inflight = None   # {"h","img","ts"} for the dispatched-not-finished frame
+        inflight = _collections.deque()   # dispatched-not-finished frames
+        # per-phase wall times for latency attribution (tools/tpu_* probes)
+        self.pipe_stats = {"prep_s": [], "dispatch_s": [], "finish_s": []}
 
         def _prepare(item):
             """-> (gray_img, ts, mask_j, aux, orig_item)"""
@@ -384,53 +391,71 @@ class System:
             with self.map_lock:
                 pose, frame = tr.track_fused_finish(flight["h"])
             self._fused_frames += 1
-            self.track_times.append(_time.perf_counter() - _t0)
+            dt = _time.perf_counter() - _t0
+            self.track_times.append(dt)
+            self.pipe_stats["finish_s"].append(dt)
             self._publish(frame, pose, image=flight["img"])
             self.trajectory.append(
                 (flight["ts"], None if pose is None else pose.copy()))
             return pose
 
+        def _tracking_ok():
+            return (tr.state == TrackerState.TRACKING
+                    and tr.last_frame is not None
+                    and tr.last_frame.pose_cw is not None)
+
+        def _discard_and_replay():
+            """Tracking left the common path mid-flight: every younger
+            in-flight step used a broken prediction — discard their device
+            results and replay those frames through the classic ladder."""
+            replay = list(inflight)
+            inflight.clear()
+            for fl in replay:
+                self.frame_id = fl["fid"]       # reuse the consumed ids
+                pose = _feed_classic(fl["item"])
+                yield fl["ts"], pose
+
         for item in items:
+            _tp = _time.perf_counter()
             img, ts, mask_j, aux, orig = _prepare(item)
-            if inflight is not None:
-                # dispatch frame i+1 against the (one-frame-stale) state of
-                # frame i-1, then finish frame i while the device works
-                h2 = fid2 = None
-                if self._use_fused():
-                    with self.map_lock:
-                        h2 = tr.track_fused_dispatch(
-                            img, self.frame_id, ts, self._track_step,
-                            mask_j, aux, lead=2)
-                    fid2 = self.frame_id
-                    self.frame_id += 1
-                pose = _finish(inflight)
-                yield inflight["ts"], pose
-                inflight = None
-                ok = (tr.state == TrackerState.TRACKING
-                      and tr.last_frame is not None
-                      and tr.last_frame.pose_cw is not None)
-                if h2 is not None:
-                    if ok:
-                        inflight = {"h": h2, "img": img, "ts": ts}
-                        continue
-                    # tracking left the common path mid-flight: the
-                    # dispatched step used a broken prediction — discard
-                    # its result and replay this frame classically
-                    self.frame_id = fid2
-            # pipeline empty: prime it (common TRACKING path) or fall back
+            self.pipe_stats["prep_s"].append(_time.perf_counter() - _tp)
             if self._use_fused():
+                _td = _time.perf_counter()
                 with self.map_lock:
                     h = tr.track_fused_dispatch(
                         img, self.frame_id, ts, self._track_step,
-                        mask_j, aux, lead=1)
+                        mask_j, aux)
+                self.pipe_stats["dispatch_s"].append(
+                    _time.perf_counter() - _td)
+                inflight.append({"h": h, "img": img, "ts": ts,
+                                 "fid": self.frame_id, "item": orig})
                 self.frame_id += 1
-                inflight = {"h": h, "img": img, "ts": ts}
+                while len(inflight) > depth:
+                    fl = inflight.popleft()
+                    pose = _finish(fl)
+                    yield fl["ts"], pose
+                    if not _tracking_ok():
+                        yield from _discard_and_replay()
+                        break
             else:
+                # leave the common path: drain the pipeline, then feed this
+                # frame through the classic ladder
+                while inflight:
+                    fl = inflight.popleft()
+                    pose = _finish(fl)
+                    yield fl["ts"], pose
+                    if not _tracking_ok():
+                        yield from _discard_and_replay()
+                        break
                 pose = _feed_classic(orig)
                 yield ts, pose
-        if inflight is not None:
-            pose = _finish(inflight)
-            yield inflight["ts"], pose
+        while inflight:
+            fl = inflight.popleft()
+            pose = _finish(fl)
+            yield fl["ts"], pose
+            if not _tracking_ok():
+                yield from _discard_and_replay()
+                break
 
     def enable_autosave(self, path: str, every_n_keyframes: int = 25):
         """Periodic async map snapshots (SURVEY.md §5.4 elastic recovery):

@@ -107,6 +107,25 @@ def test_trajectory_state_consistent(runs):
             np.testing.assert_allclose(p_y, p_s)
 
 
+def test_depth2_pipeline_quality():
+    """depth=2 keeps two frames in flight (three-frame-stale map, lead-3
+    prediction) — tracking quality must stay in the same class."""
+    cfg = _make_config()
+    images, poses_gt = _render_sequence(cfg)
+    s = System(cfg)
+    s.startup()
+    out = list(s.feed_sequence(
+        ((img, i / 20.0) for i, img in enumerate(images)), depth=2))
+    s.shutdown()
+    n = len(images)
+    assert len(out) == n
+    tracked = sum(p is not None for _, p in out)
+    assert tracked > 0.85 * n, f"tracked {tracked}/{n}"
+    assert s._fused_frames > 0.7 * n
+    ate = _sim3_ate(s, poses_gt)
+    assert ate < 0.08, f"depth-2 ATE {ate:.3f} m"
+
+
 def test_rgbd_pipelined():
     """feed_sequence kind='rgbd' on the fronto-parallel plane scene (the
     same setup as test_stereo_rgbd_e2e): metric SE3 ATE, most frames fused."""
