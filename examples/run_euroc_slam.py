@@ -18,15 +18,19 @@ def main():
         from openvslam_tpu.utils.stereo_rectifier import StereoRectifier
         rectifier = StereoRectifier(cfg.camera, cfg.raw)
     seq = EurocSequence(args.data_dir, stereo=stereo)
+    if stereo and len(seq) and seq[0][2] is None:
+        print("WARNING: stereo config but no cam1 images found — "
+              "feeding monocular")
+        stereo = False
 
     def items():
         for i in range(0, len(seq), args.frame_skip):
             ts, left, right = seq[i]
-            if stereo and right is not None:
+            if stereo:
                 if rectifier is not None:
                     left, right = rectifier.rectify(left, right)
                 yield left, right, ts
-            elif not stereo:
+            else:
                 yield left, ts
     times = feed_loop(args, system, items(),
                       "stereo" if stereo else "monocular")

@@ -14,14 +14,15 @@ def main():
 
     stereo = cfg.camera.setup == SetupType.STEREO
     seq = KittiOdometrySequence(args.data_dir, stereo=stereo)
+    if stereo and len(seq) and seq[0][2] is None:
+        print("WARNING: stereo config but no right images found — "
+              "feeding monocular")
+        stereo = False
 
     def items():
         for i in range(0, len(seq), args.frame_skip):
             ts, left, right = seq[i]
-            if stereo and right is not None:
-                yield left, right, ts
-            elif not stereo:
-                yield left, ts
+            yield (left, right, ts) if stereo else (left, ts)
     times = feed_loop(args, system, items(),
                       "stereo" if stereo else "monocular")
     finish(args, system, times)

@@ -14,14 +14,17 @@ def main():
 
     seq = TumRgbdSequence(args.data_dir)
     rgbd = cfg.camera.setup == SetupType.RGBD
+    if rgbd and len(seq) and seq[0][2] is None:
+        print("WARNING: RGBD config but no depth maps found — "
+              "feeding monocular")
+        rgbd = False
 
     def items():
         for i in range(0, len(seq), args.frame_skip):
             ts, img, depth = seq[i]
-            if rgbd and depth is not None:
-                yield img, depth, ts
-            elif not rgbd:
-                yield img, ts
+            if rgbd and depth is None:
+                continue        # unpaired frame (rare); skip with depth gone
+            yield (img, depth, ts) if rgbd else (img, ts)
     times = feed_loop(args, system, items(),
                       "rgbd" if rgbd else "monocular")
     finish(args, system, times)

@@ -61,8 +61,12 @@ class TrackingModule:
         self._peak_tracked = 0     # max inliers since the last keyframe
         self._fetch_pool = None    # lazy result-fetch worker (fused path)
         # recent accepted (frame_id, pose_cw) pairs for multi-step motion
-        # prediction in the pipelined feed (see track_fused_dispatch)
-        self._pose_hist: collections.deque = collections.deque(maxlen=8)
+        # prediction in the pipelined feed (see track_fused_dispatch).
+        # Dispatch of frame F at pipeline depth d looks up
+        # pose(F - 2(d+1)), so the history must hold >= 2d+2 entries —
+        # maxlen 64 covers depth 31 at negligible cost (System.feed_sequence
+        # clamps depth accordingly)
+        self._pose_hist: collections.deque = collections.deque(maxlen=64)
 
     # ------------------------------------------------------------------
     def track(self, frame: Frame) -> Optional[np.ndarray]:
@@ -370,6 +374,12 @@ class TrackingModule:
         return self.track_fused_finish(self.track_fused_dispatch(
             image_u8, frame_id, timestamp, step, mask, aux))
 
+    def close(self):
+        """Release the result-fetch worker (System.shutdown calls this)."""
+        if self._fetch_pool is not None:
+            self._fetch_pool.shutdown(wait=True)
+            self._fetch_pool = None
+
     def _record_pose(self, frame: Frame):
         self._pose_hist.append((frame.frame_id, frame.pose_cw.copy()))
 
@@ -518,6 +528,15 @@ class TrackingModule:
         loc_tab[:n_loc] = cand[:n_loc]
         comb = np.concatenate([prev_tab, loc_tab])
         lm_of_kpt = np.where(src >= 0, comb[np.clip(src, 0, len(comb) - 1)], -1)
+        # landmarks fused away between dispatch and finish (pipelined feed:
+        # keyframe insertion ran while this frame was in flight) are
+        # forwarded to their replacement, not dropped
+        stale = (lm_of_kpt >= 0) & ~db.lm_valid[np.clip(lm_of_kpt, 0, None)]
+        for j in np.where(stale)[0]:
+            r = db.resolve_replaced(int(lm_of_kpt[j]))
+            if r >= 0 and (lm_of_kpt == r).any():
+                r = -1      # replacement already observed in this frame
+            lm_of_kpt[j] = r
         lm_of_kpt = np.where(
             (lm_of_kpt >= 0) & db.lm_valid[np.clip(lm_of_kpt, 0, None)],
             lm_of_kpt, -1)

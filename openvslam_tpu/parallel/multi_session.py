@@ -87,12 +87,12 @@ class MultiSessionRunner:
         total = 0
         if pipeline:
             streams = [
-                s.feed_sequence(iter(f), kind=self._kind(s),
+                s.feed_sequence(iter(f), kind=s.feed_kind(),
                                 depth=pipeline_depth)
                 for s, f in zip(self.systems, frame_iters)
             ]
         else:
-            feeds = [self._feed_fn(s) for s in self.systems]
+            feeds = [s.feed_frame for s in self.systems]
             iters = [iter(f) for f in frame_iters]
         live = [True] * len(self.systems)
         while any(live):

@@ -131,6 +131,7 @@ class System:
             self._tracker_mapper.drain()
         if self.global_optimizer is not None:
             self.global_optimizer.join_global_ba(timeout=120)
+        self.tracker.close()
         self._running = False
 
     def enable_mapping_module(self):
@@ -211,6 +212,24 @@ class System:
             and tr.last_frame.pose_cw is not None
         )
 
+    def feed_kind(self) -> str:
+        """Sequence kind for this camera setup ('monocular'|'stereo'|'rgbd'),
+        as accepted by feed_sequence."""
+        if self.cam.setup == SetupType.STEREO:
+            return "stereo"
+        if self.cam.setup == SetupType.RGBD:
+            return "rgbd"
+        return "monocular"
+
+    def feed_frame(self, *args, **kwargs):
+        """Setup-dispatched per-frame feed: forwards to feed_monocular_frame
+        / feed_stereo_frame / feed_RGBD_frame by the camera setup."""
+        return {
+            "monocular": self.feed_monocular_frame,
+            "stereo": self.feed_stereo_frame,
+            "rgbd": self.feed_RGBD_frame,
+        }[self.feed_kind()](*args, **kwargs)
+
     def feed_monocular_frame(self, image: np.ndarray, timestamp: float,
                              mask: Optional[np.ndarray] = None):
         """image: (rows, cols) uint8 grayscale or (rows, cols, 3) color.
@@ -247,6 +266,7 @@ class System:
 
         l_img = self._to_gray(left)
         r_img = self._to_gray(right)
+        mask = mask if mask is not None else self._static_mask
         mask_j = None if mask is None else jnp.asarray(mask, jnp.float32)
         import time as _time
         tr = self.tracker
@@ -283,6 +303,7 @@ class System:
         """RGB + registered depth map -> pose (ref system::feed_RGBD_frame).
         Depth sampled at keypoint locations; virtual right-u from depth."""
         img = self._to_gray(rgb)
+        mask = mask if mask is not None else self._static_mask
         mask_j = None if mask is None else jnp.asarray(mask, jnp.float32)
         z_map = (depthmap.astype(np.float32)
                  / max(self.cfg.depthmap_factor, 1e-9))
@@ -345,13 +366,33 @@ class System:
         tunnel deployments.  Any frame that leaves the common TRACKING path
         (init, Lost, fused-step fallback) drains the pipeline and goes
         through the classic per-frame ladder unchanged.
+
+        ``track_times`` records the yield-to-yield period per frame (the
+        throughput-true figure under pipelining; per-phase wall times are
+        in ``pipe_stats``), so ``stats()['fps']`` stays meaningful.
         """
+        return self._feed_sequence_timed(items, kind, depth)
+
+    def _feed_sequence_timed(self, items, kind, depth):
+        import time as _time
+        inner = self._feed_sequence_impl(items, kind, depth)
+        t_last = _time.perf_counter()
+        for out in inner:
+            now = _time.perf_counter()
+            # the classic fallback path appends its own per-frame time;
+            # fused finishes don't — fill in the yield-to-yield period
+            if len(self.track_times) < len(self.trajectory):
+                self.track_times.append(now - t_last)
+            t_last = now
+            yield out
+
+    def _feed_sequence_impl(self, items, kind: str, depth: int):
         import collections as _collections
         import time as _time
         kind = kind.lower()
         if kind not in ("monocular", "stereo", "rgbd"):
             raise ValueError(f"unknown sequence kind: {kind}")
-        depth = max(1, int(depth))
+        depth = max(1, min(int(depth), 31))   # pose-history bound, see tracker
         tr = self.tracker
         inflight = _collections.deque()   # dispatched-not-finished frames
         # per-phase wall times for latency attribution (tools/tpu_* probes)
@@ -391,9 +432,7 @@ class System:
             with self.map_lock:
                 pose, frame = tr.track_fused_finish(flight["h"])
             self._fused_frames += 1
-            dt = _time.perf_counter() - _t0
-            self.track_times.append(dt)
-            self.pipe_stats["finish_s"].append(dt)
+            self.pipe_stats["finish_s"].append(_time.perf_counter() - _t0)
             self._publish(frame, pose, image=flight["img"])
             self.trajectory.append(
                 (flight["ts"], None if pose is None else pose.copy()))
