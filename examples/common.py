@@ -73,6 +73,18 @@ def build_system(args):
     vocab = None if args.vocab == "none" else args.vocab
     system = System(cfg, vocab_path=vocab,
                     async_mapping=not getattr(args, "sync_mapping", False))
+    if getattr(args, "mask", None):
+        # reference convention (run_*_slam --mask): nonzero pixels = extract
+        from openvslam_tpu.utils.datasets import _imread_gray
+        m = _imread_gray(args.mask)
+        if m.shape != (cfg.camera.rows, cfg.camera.cols):
+            raise SystemExit(
+                f"mask shape {m.shape} != camera "
+                f"({cfg.camera.rows}, {cfg.camera.cols})")
+        m = (m > 0).astype(np.float32)
+        if system._static_mask is not None:   # merge with mask_rectangles
+            m = m * system._static_mask
+        system._static_mask = m
     if args.map_db_in:
         system.load_map_database(args.map_db_in)
         system.disable_mapping_module()
