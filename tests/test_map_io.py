@@ -80,3 +80,30 @@ def test_localization_mode(mapped_system, tmp_path):
     c1 = -poses1[i_common][:3, :3].T @ poses1[i_common][:3, 3]
     c2 = -poses2[i_common - 8][:3, :3].T @ poses2[i_common - 8][:3, 3]
     assert np.linalg.norm(c1 - c2) < 0.1
+
+
+def test_localization_mode_pipelined(mapped_system, tmp_path):
+    """Localization (frozen map, mapper=None) through the pipelined feed:
+    relocalize then keep tracking fused; map must not grow."""
+    s, cfg, scene, poses = mapped_system
+    cam = cfg.camera
+    path = str(tmp_path / "map3.msg")
+    s.save_map_database(path)
+
+    s2 = System(cfg, vocab_path="default")
+    s2.load_map_database(path)
+    s2.disable_mapping_module()
+    s2.startup()
+    s2.tracker.state = TrackerState.LOST
+    n_kfs_before = s2.map_db.n_kfs
+    n_lms_before = len(s2.map_db.valid_lm_ids())
+    out = list(s2.feed_sequence(
+        ((scene.render(cam, poses[i]), 100 + i / 20.0) for i in range(6, 18)),
+        kind="monocular", depth=2))
+    s2.shutdown()
+    assert len(out) == 12
+    tracked = sum(p is not None for _, p in out)
+    assert tracked >= 9, tracked
+    assert s2._fused_frames > 0, "localization never used the fused path"
+    assert s2.map_db.n_kfs == n_kfs_before
+    assert len(s2.map_db.valid_lm_ids()) == n_lms_before
