@@ -40,6 +40,9 @@ class Relocalizer:
         for kf in cands:
             T = self._try_candidate(frame, words, kf)
             if T is not None:
+                # tracker adopts this as its reference keyframe (ref:
+                # relocalization re-anchors tracking on the matched KF)
+                self.last_reloc_kf = int(kf)
                 return T
         return None
 

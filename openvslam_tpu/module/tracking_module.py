@@ -614,6 +614,11 @@ class TrackingModule:
     def _new_keyframe_needed(self, frame: Frame) -> bool:
         if self.mapper is None:
             return False
+        if (self.ref_kf < 0 or self.ref_kf >= len(self.map_db.kf_valid)
+                or not self.map_db.kf_valid[self.ref_kf]):
+            # no live reference keyframe (resumed session, or it was
+            # culled): insert one as soon as tracking is reliable
+            return self.num_tracked > 15
         # reliable landmarks in reference KF (>=3 observers after 2+ KFs)
         min_obs = 3 if self.map_db.n_kfs > 2 else 2
         ref_arr = self.map_db.kf_lm_idx[self.ref_kf]
@@ -658,6 +663,12 @@ class TrackingModule:
         self.velocity = np.eye(4, dtype=np.float32)
         self._pose_hist.clear()
         self._record_pose(frame)
+        # re-anchor on the keyframe the relocalizer matched (a resumed or
+        # long-lost session has no valid reference keyframe otherwise)
+        reloc_kf = getattr(self.relocalizer, "last_reloc_kf", -1)
+        if reloc_kf >= 0:
+            self.ref_kf = reloc_kf
+            self.last_kf_frame_id = frame.frame_id
         self.num_tracked = num_inl
         self.frames_since_reloc = 0
         return frame.pose_cw
