@@ -14,7 +14,7 @@ from ..camera.base import SetupType
 from ..data.bow import BowDatabase, Vocabulary, default_vocabulary
 from ..ops import sim3 as sim3_ops
 from ..optimize import residuals as R2
-from ..optimize.ba import BAProblem, make_global_ba
+from ..optimize.ba import BAProblem, shared_global_ba
 from ..optimize.pose_graph import PoseGraphProblem, make_pose_graph_optimizer
 from .loop_detector import LoopDetector
 from .relocalizer import Relocalizer
@@ -44,7 +44,6 @@ class GlobalOptimizationModule:
         self.abort_global_ba = False
         self.last_loop_kf = -1
         self.loop_enabled = cfg.loop.enabled
-        self._global_ba_cache = {}
         # background global BA (ref: loop closure spawns a BA thread and
         # propagates keyframes/landmarks born while it ran)
         self.async_global_ba = False
@@ -356,14 +355,8 @@ class GlobalOptimizationModule:
                 om[n_obs] = True
                 n_obs += 1
 
-        key = (C, L, O, multicam, stereo, iters)
-        if key not in self._global_ba_cache:
-            self._global_ba_cache[key] = make_global_ba(
-                self.cam, stereo=stereo, iters=iters, cg_iters=30,
-                res_fn_override=(
-                    R2.make_multicam_mono_residual() if multicam else None),
-            )
-        ba = self._global_ba_cache[key]
+        ba = shared_global_ba(self.cam, stereo=stereo, iters=iters,
+                              cg_iters=30, multicam=multicam)
         prob = BAProblem(
             jnp.asarray(T), jnp.asarray(cam_opt), jnp.asarray(cam_valid),
             jnp.asarray(X), jnp.asarray(lm_valid),

@@ -15,7 +15,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..models import tracking_ops as TO
-from ..optimize.ba import BAProblem, make_local_ba
+from ..optimize.ba import BAProblem, shared_local_ba
 
 
 class MappingModule:
@@ -34,7 +34,7 @@ class MappingModule:
         self.sigma2 = self.scale_factors**2
         self.num_levels = nl
         self.C, self.L, self.O = ba_cams, ba_lms, ba_obs
-        self.local_ba = make_local_ba(cam, stereo=self.stereo)
+        self.local_ba = shared_local_ba(cam, stereo=self.stereo)
         self._local_ba_multicam = None    # built lazily (merged-session maps)
         self.recent_lms: List[Tuple[int, int]] = []   # (lm, born_kf)
         self.num_covis_for_triangulation = 10
@@ -328,10 +328,8 @@ class MappingModule:
 
     def _multicam_local_ba(self):
         if self._local_ba_multicam is None:
-            from ..optimize import residuals as R2
-            self._local_ba_multicam = make_local_ba(
-                self.cam, res_fn_override=R2.make_multicam_mono_residual(),
-            )
+            self._local_ba_multicam = shared_local_ba(
+                self.cam, multicam=True)
         return self._local_ba_multicam
 
     def _build_ba_problem(self, kf: int):

@@ -75,6 +75,52 @@ def _residuals_and_jacs(res_fn, T_cw, X, obs_cam, obs_lm, obs_uv):
     return jax.vmap(per_obs)(obs_cam, obs_lm, obs_uv)
 
 
+_SHARED_BA: dict = {}
+
+
+def _cam_key(cam) -> tuple:
+    from ..camera.base import camera_to_config
+    return tuple(sorted(camera_to_config(cam).items()))
+
+
+def shared_local_ba(cam, stereo: bool = False, first_iters: int = 5,
+                    second_iters: int = 10, multicam: bool = False):
+    """Process-wide memo over make_local_ba keyed by the camera's serialized
+    spec + schedule: Systems with equal cameras share one set of compiled
+    BA bucket programs instead of re-jitting per session (a multi-second
+    remote compile per bucket on tunnel-attached TPUs; the multi-session
+    runner was compile-bound without this)."""
+    key = ("local", _cam_key(cam), stereo, first_iters, second_iters,
+           multicam)
+    fn = _SHARED_BA.get(key)
+    if fn is None:
+        from . import residuals as _R2
+        fn = make_local_ba(
+            cam, stereo=stereo, first_iters=first_iters,
+            second_iters=second_iters,
+            res_fn_override=(
+                _R2.make_multicam_mono_residual() if multicam else None),
+        )
+        _SHARED_BA[key] = fn
+    return fn
+
+
+def shared_global_ba(cam, stereo: bool = False, iters: int = 10,
+                     cg_iters: int = 40, multicam: bool = False):
+    """Process-wide memo over make_global_ba (see shared_local_ba)."""
+    key = ("global", _cam_key(cam), stereo, iters, cg_iters, multicam)
+    fn = _SHARED_BA.get(key)
+    if fn is None:
+        from . import residuals as _R2
+        fn = make_global_ba(
+            cam, stereo=stereo, iters=iters, cg_iters=cg_iters,
+            res_fn_override=(
+                _R2.make_multicam_mono_residual() if multicam else None),
+        )
+        _SHARED_BA[key] = fn
+    return fn
+
+
 def make_local_ba(cam, stereo: bool = False, first_iters: int = 5,
                   second_iters: int = 10, res_fn_override=None):
     """Dense-Schur local BA, one jitted program per (C, L, O) bucket.

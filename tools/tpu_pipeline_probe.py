@@ -112,7 +112,9 @@ def main():
     def sessions():
         out = []
         for i in range(3):
-            si = System(cfg)
+            # async mapping: keyframe-insertion device calls must not block
+            # the session's feed generator (the reference's own contract)
+            si = System(cfg, async_mapping=True)
             rngi = np.random.default_rng(30 + i)
             scn = synthetic.PatchSceneRenderer(
                 rngi, n_points=600, center=(0, 0, 6), extent=(6, 4.5, 2.5),
@@ -127,7 +129,8 @@ def main():
         ss = sessions()
         runner = MultiSessionRunner([s for s, _ in ss], mesh=make_mesh(1))
         t0 = time.perf_counter()
-        tracked = runner.run([fr for _, fr in ss], pipeline=pipe)
+        tracked = runner.run([fr for _, fr in ss], pipeline=pipe,
+                             pipeline_depth=2)
         wall = time.perf_counter() - t0
         runner.shutdown()
         tot = sum(len(t) for t in tracked)
