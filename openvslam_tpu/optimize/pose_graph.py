@@ -39,11 +39,25 @@ class PoseGraphProblem(NamedTuple):
     e_mask: jnp.ndarray   # (E,) bool
 
 
+_SHARED: dict = {}
+
+
 def make_pose_graph_optimizer(iters: int = 20, cg_iters: int = 50,
                               fix_scale: bool = False):
     """fix_scale: lock the Sim3 scale of EVERY vertex (ref graph_optimizer
     sets fix_scale on stereo/RGBD maps — metric sensors leave no scale
-    freedom for the pose graph to redistribute)."""
+    freedom for the pose graph to redistribute).
+
+    Memoized process-wide on (iters, cg_iters, fix_scale): sessions share
+    one compiled program per padded graph size instead of re-jitting."""
+    key = (int(iters), int(cg_iters), bool(fix_scale))
+    if key in _SHARED:
+        return _SHARED[key]
+    _SHARED[key] = _make(iters, cg_iters, fix_scale)
+    return _SHARED[key]
+
+
+def _make(iters: int, cg_iters: int, fix_scale: bool):
     @jax.jit
     @geometry_precision
     def optimize(p: PoseGraphProblem):
