@@ -99,9 +99,139 @@ def evaluate_motion_hypotheses(Rs, ts, b1, b2, mask, min_parallax_cos=0.99995):
     return counts, Xs, goods
 
 
+@functools.partial(jax.jit, static_argnames=("n_hyp", "perspective"))
+def init_attempt(key, d1, v1, xy1, ang1, und1, brg1,
+                 d2, v2, xy2, ang2, und2, brg2, K,
+                 n_hyp=256, perspective=True):
+    """The ENTIRE two-view bootstrap attempt as ONE program: match ->
+    angle filter -> in-program match compaction -> H+F (or bearing-E)
+    RANSAC -> both decompositions -> cheirality/parallax evaluation ->
+    best-hypothesis selection.  The per-frame unfused ladder cost 5-7
+    device round trips per attempted frame — on remote-TPU links that
+    dominated time-to-first-track.
+
+    Returns (num_matches, use_h, counts (8,), T21 (4,4), X (cap,3),
+    good (cap,), m1 (cap,), m2 (cap,), pmask (cap,)) — compacted so the
+    first num_matches rows are the matched pairs in ascending frame-1
+    keypoint order (exactly the host compaction it replaces).
+    """
+    gate = M.window_gate(xy1, xy2, 100.0)
+    idx, dist = M.match_descriptors(
+        d1, d2, v1, v2, gate=gate,
+        max_dist=M.HAMMING_DIST_THR_LOW, ratio=0.9, cross_check=True,
+    )
+    idx = M.angle_consistency_filter(ang1, ang2, idx)
+    matched = idx >= 0
+    num_matches = jnp.sum(matched.astype(jnp.int32))
+    # stable compaction: matched pairs first, ascending frame-1 index
+    order = jnp.argsort(jnp.where(matched, 0, 1), stable=True)
+    m1 = order
+    pmask = matched[order]
+    m2 = jnp.where(pmask, idx[order], 0)
+    p1 = jnp.where(pmask[:, None], und1[m1], 0.0)
+    p2 = jnp.where(pmask[:, None], und2[m2], 0.0)
+    unit_z = jnp.array([0.0, 0.0, 1.0], und1.dtype)
+    b1 = jnp.where(pmask[:, None], brg1[m1], unit_z)
+    b2 = jnp.where(pmask[:, None], brg2[m2], unit_z)
+
+    if perspective:
+        k1, k2 = jax.random.split(key)
+        H, s_h, inl_h = ransac.run_ransac(
+            k1,
+            lambda i: solvers.fit_homography(p1[i], p2[i]),
+            lambda Hh: solvers.score_homography(Hh, p1, p2, pmask, sigma=1.0),
+            pmask, n_hyp, 4,
+        )
+        F, s_f, inl_f = ransac.run_ransac(
+            k2,
+            lambda i: solvers.fit_fundamental(p1[i], p2[i]),
+            lambda Ff: solvers.score_fundamental(Ff, p1, p2, pmask, sigma=1.0),
+            pmask, n_hyp, 8,
+        )
+        use_h = s_h / jnp.maximum(s_h + s_f, 1e-9) > 0.45
+        Rs_h, ts_h, _ = solvers.decompose_homography(H, K)
+        E = solvers.essential_from_F(F, K, K)
+        Rs_e, ts_e = solvers.decompose_essential(E)
+        pad = jnp.tile(jnp.eye(3, dtype=Rs_e.dtype), (4, 1, 1))
+        Rs_e = jnp.concatenate([Rs_e, pad], 0)
+        ts_e = jnp.concatenate([ts_e, jnp.zeros((4, 3), ts_e.dtype)], 0)
+        hyp_ok = jnp.where(use_h, jnp.ones(8, bool),
+                           jnp.arange(8) < 4)
+        Rs = jnp.where(use_h, Rs_h, Rs_e)
+        ts = jnp.where(use_h, ts_h, ts_e)
+        base_inl = jnp.where(use_h, inl_h, inl_f)
+    else:
+        E, s_e, base_inl = ransac.run_ransac(
+            key,
+            lambda i: solvers.fit_essential(b1[i], b2[i]),
+            lambda Ee: solvers.score_essential(Ee, b1, b2, pmask),
+            pmask, n_hyp, 8,
+        )
+        Rs, ts = solvers.decompose_essential(E)
+        pad = jnp.tile(jnp.eye(3, dtype=Rs.dtype), (4, 1, 1))
+        Rs = jnp.concatenate([Rs, pad], 0)
+        ts = jnp.concatenate([ts, jnp.zeros((4, 3), ts.dtype)], 0)
+        hyp_ok = jnp.arange(8) < 4
+        use_h = jnp.asarray(False)
+
+    eval_mask = pmask & base_inl
+    counts, Xs, goods = evaluate_motion_hypotheses(Rs, ts, b1, b2, eval_mask)
+    counts = jnp.where(hyp_ok, counts, -1)
+    best = jnp.argmax(counts)
+    T21 = jnp.eye(4, dtype=Rs.dtype).at[:3, :3].set(Rs[best]) \
+        .at[:3, 3].set(ts[best])
+    return (num_matches, use_h, counts, T21, Xs[best], goods[best],
+            m1, m2, pmask, jnp.sum(eval_mask.astype(jnp.int32)))
+
+
 def initialize_two_view(key, frame1, frame2, cam, min_matches=50,
                         min_triangulated=40) -> InitResult:
-    """Host orchestration of the bootstrap.  frame*: data.Frame."""
+    """Host orchestration of the bootstrap (ONE device call via
+    init_attempt; acceptance thresholds on host).  frame*: data.Frame."""
+    is_perspective = getattr(cam, "model_name", "perspective") == "perspective"
+    if is_perspective:
+        K = np.array(
+            [[float(cam.fx), 0, float(cam.cx)],
+             [0, float(cam.fy), float(cam.cy)], [0, 0, 1]], np.float32)
+    else:
+        K = np.eye(3, dtype=np.float32)
+    out = init_attempt(
+        key,
+        jnp.asarray(frame1.desc_i8), jnp.asarray(frame1.valid),
+        jnp.asarray(frame1.xy), jnp.asarray(frame1.angle),
+        jnp.asarray(frame1.xy_undist), jnp.asarray(frame1.bearing),
+        jnp.asarray(frame2.desc_i8), jnp.asarray(frame2.valid),
+        jnp.asarray(frame2.xy), jnp.asarray(frame2.angle),
+        jnp.asarray(frame2.xy_undist), jnp.asarray(frame2.bearing),
+        jnp.asarray(K), perspective=is_perspective,
+    )
+    (num_matches, use_h, counts, T21, X, good, m1, m2, pmask,
+     n_inl) = jax.device_get(out)
+    n = int(num_matches)
+    use_h = bool(use_h)
+    if n < min_matches:
+        return InitResult(False, np.eye(4), np.zeros((0, 3)),
+                          np.zeros(0, bool), np.zeros(0, np.int64),
+                          np.zeros(0, np.int64), use_h, n)
+    order = np.argsort(counts)[::-1]
+    n_best = int(counts[order[0]])
+    n_second = int(counts[order[1]]) if len(order) > 1 else 0
+    n_inl = int(n_inl)
+    if n_best < min_triangulated or n_best < 0.5 * n_inl or (
+        n_second > 0.93 * n_best and len(order) > 1
+    ):
+        return InitResult(False, np.eye(4), np.zeros((0, 3)),
+                          np.zeros(0, bool), np.zeros(0, np.int64),
+                          np.zeros(0, np.int64), use_h, n)
+    return InitResult(True, T21.astype(np.float32), X[:n], good[:n],
+                      m1[:n].astype(np.int64), m2[:n].astype(np.int64),
+                      use_h, n)
+
+
+def _initialize_two_view_unfused(key, frame1, frame2, cam, min_matches=50,
+                                 min_triangulated=40) -> InitResult:
+    """The original multi-call ladder, kept as the behavioral oracle for
+    tests (the fused init_attempt must make the same decisions)."""
     d1 = jnp.asarray(frame1.desc_i8)
     d2 = jnp.asarray(frame2.desc_i8)
     v1 = jnp.asarray(frame1.valid)
