@@ -6,6 +6,7 @@ accept above the inlier gate (~50).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -15,8 +16,48 @@ import jax.numpy as jnp
 from ..models import tracking_ops as TO
 from ..ops import bow as bow_ops
 from ..ops import match as M
+from ..ops import orb as orb_ops
 from ..ops import ransac, solvers
 from ..optimize.pose_optimizer import make_pose_optimizer
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp",))
+def _reloc_stage1(key, d_f, v_f, brg_f, words_f,
+                  kf_desc_u32, kf_words, kf_ok, kf_pts, n_hyp=128):
+    """Stage 1 of relocalization for ALL BoW candidates in ONE program:
+    word-gated descriptor match + EPnP RANSAC per candidate, vmapped over
+    the candidate axis.  The per-candidate host loop cost ~2 device round
+    trips per candidate (most of which fail the match/PnP gates anyway).
+
+    kf_desc_u32 (C,Kf,8) ride packed (32 B/kpt up the link); kf_ok marks
+    candidate keypoints with a LIVE landmark; kf_pts are those landmarks'
+    positions.  Returns per candidate: idx (C,K) frame-kpt -> kf-kpt match,
+    n_match (C,), T_est (C,4,4), n_inl (C,).
+    """
+    C = kf_words.shape[0]
+    keys = jax.random.split(key, C)
+
+    def one(kk, desc_u32, wds, ok, pts):
+        desc = jnp.where(ok[:, None], orb_ops.unpack_bits_i8(desc_u32), 0)
+        gate = bow_ops.word_gate(words_f, wds)
+        idx, dist = M.match_descriptors(
+            d_f, desc, v_f, ok, gate=gate,
+            max_dist=M.HAMMING_DIST_THR_LOW, ratio=0.9, cross_check=True,
+        )
+        pair_ok = idx >= 0
+        P = pts[jnp.clip(idx, 0)]
+        n_match = jnp.sum(pair_ok.astype(jnp.int32))
+        T_est, score, inl = ransac.run_ransac(
+            kk,
+            lambda i: solvers.fit_pnp_epnp(brg_f[i], P[i]),
+            lambda T: solvers.score_pnp(T, brg_f, P, pair_ok,
+                                        thr_cos=0.9998),
+            pair_ok, n_hyp, 4,
+        )
+        n_inl = jnp.sum((inl & pair_ok).astype(jnp.int32))
+        return idx, n_match, T_est, n_inl
+
+    return jax.vmap(one)(keys, kf_desc_u32, kf_words, kf_ok, kf_pts)
 
 
 class Relocalizer:
@@ -37,8 +78,42 @@ class Relocalizer:
     def relocalize(self, frame) -> Optional[np.ndarray]:
         words = self.bow_db.compute_words(frame.desc_i8, frame.valid)
         cands = self.bow_db.acquire_relocalization_candidates(words)
-        for kf in cands:
-            T = self._try_candidate(frame, words, kf)
+        if not cands:
+            return None
+        db = self.db
+        # pad the candidate axis to a power of two (bounds recompiles)
+        C = len(cands)
+        Cp = max(2, 1 << int(np.ceil(np.log2(C))))
+        padded = list(cands) + [cands[0]] * (Cp - C)
+        Kf = db.kf_desc_u32[int(cands[0])].shape[0]
+        kf_desc = np.zeros((Cp, Kf, 8), np.uint32)
+        kf_words = np.zeros((Cp, Kf), np.int32)
+        kf_ok = np.zeros((Cp, Kf), bool)
+        kf_pts = np.zeros((Cp, Kf, 3), np.float32)
+        for ci, kf in enumerate(padded):
+            kf = int(kf)
+            arr = db.kf_lm_idx[kf]
+            ok = (arr >= 0) & db.kf_kpt_valid[kf] \
+                & db.lm_valid[np.clip(arr, 0, None)]
+            kf_desc[ci] = db.kf_desc_u32[kf]
+            kf_words[ci] = self.bow_db.kf_words[kf]
+            kf_ok[ci] = ok
+            kf_pts[ci][ok] = db.lm_pos[arr[ok]]
+        self.key, k = jax.random.split(self.key)
+        idx_all, n_match, T_all, n_inl = jax.device_get(_reloc_stage1(
+            k, jnp.asarray(frame.desc_i8), jnp.asarray(frame.valid),
+            jnp.asarray(frame.bearing), jnp.asarray(words),
+            jnp.asarray(kf_desc), jnp.asarray(kf_words),
+            jnp.asarray(kf_ok), jnp.asarray(kf_pts),
+        ))
+        # candidates in BoW-rank order; first to survive all gates wins
+        # (the reference's sequential semantics)
+        for ci, kf in enumerate(cands):
+            if int(n_match[ci]) < 15 or int(n_inl[ci]) < 10:
+                continue
+            T = self._refine_candidate(
+                frame, int(kf), idx_all[ci], kf_ok[ci],
+                T_all[ci].astype(np.float32))
             if T is not None:
                 # tracker adopts this as its reference keyframe (ref:
                 # relocalization re-anchors tracking on the matched KF)
@@ -46,54 +121,18 @@ class Relocalizer:
                 return T
         return None
 
-    def _try_candidate(self, frame, words, kf) -> Optional[np.ndarray]:
+    def _refine_candidate(self, frame, kf: int, idx, kf_ok,
+                          T_est) -> Optional[np.ndarray]:
+        """Stage 2 for one surviving candidate: pose LM on the matches,
+        projection-widened match over the candidate's local map, final LM."""
         db = self.db
-        kf_words = self.bow_db.kf_words[kf]
-        kf_has_lm = (db.kf_lm_idx[kf] >= 0) & db.kf_kpt_valid[kf]
-        gate = bow_ops.word_gate(jnp.asarray(words), jnp.asarray(kf_words))
-        idx, dist = M.match_descriptors(
-            jnp.asarray(frame.desc_i8), jnp.asarray(db.kf_desc_i8[kf]),
-            jnp.asarray(frame.valid), jnp.asarray(kf_has_lm),
-            gate=gate, max_dist=M.HAMMING_DIST_THR_LOW, ratio=0.9,
-            cross_check=True,
-        )
-        idx = np.asarray(idx)
-        m_f = np.where(idx >= 0)[0]
-        if len(m_f) < 15:
-            return None
+        m_f = np.where((idx >= 0) & kf_ok[np.clip(idx, 0, None)])[0]
         lm_ids = db.kf_lm_idx[kf][idx[m_f]]
-        good = np.array([l >= 0 and db.lm_valid[l] for l in lm_ids])
-        m_f = m_f[good]
-        lm_ids = lm_ids[good]
-        if len(m_f) < 15:
-            return None
-
-        K = frame.capacity
-        brg = np.zeros((K, 3), np.float32)
-        brg[:, 2] = 1.0
-        pts = np.zeros((K, 3), np.float32)
-        pmask = np.zeros(K, bool)
-        n = len(m_f)
-        brg[:n] = frame.bearing[m_f]
-        pts[:n] = db.lm_pos[lm_ids]
-        pmask[:n] = True
-        self.key, k = jax.random.split(self.key)
-        bj, pj, mj = jnp.asarray(brg), jnp.asarray(pts), jnp.asarray(pmask)
-        # EPnP on 4-point minimal sets (ref pnp_solver): at 50% outliers an
-        # all-inlier quadruple is ~4x likelier than an all-inlier 6-set
-        T_est, score, inl = ransac.run_ransac(
-            k,
-            lambda i: solvers.fit_pnp_epnp(bj[i], pj[i]),
-            lambda T: solvers.score_pnp(T, bj, pj, mj, thr_cos=0.9998),
-            mj, 128, 4,
-        )
-        if int(np.asarray(inl).sum()) < 10:
-            return None
 
         # associate matched landmarks and optimize the pose
         frame.lm_idx[:] = -1
         frame.lm_idx[m_f] = lm_ids
-        T_opt, num_inl = self._pose_optimize(frame, np.asarray(T_est))
+        T_opt, num_inl = self._pose_optimize(frame, T_est)
         if num_inl < 10:
             frame.lm_idx[:] = -1
             return None
