@@ -1,9 +1,16 @@
 """Vocabulary training + BoW database (host side).
 
 Replaces ``data/bow_vocabulary`` (DBoW2 wrapper) and ``data/bow_database``
-(inverted index; SURVEY.md §2.1).  The vocabulary is a flat set of W binary
-word centers trained by k-medians (bit-majority) — FBoW-style binary
-clustering.  Training data: any stack of packed/unpacked ORB descriptors; a
+(inverted index; SURVEY.md §2.1).  Two vocabulary forms:
+
+- ``Vocabulary`` (default): a flat set of W binary word centers trained by
+  k-medians (bit-majority) — FBoW-style binary clustering; assignment is
+  exact nearest-word (one MXU Hamming matmul + argmin).
+- ``TreeVocabulary``: the reference's hierarchical k-branch/L-level DBoW2
+  tree with greedy descent and direct-index-at-level semantics, stored
+  level-major so descent is L static device stages.
+
+Training data: any stack of packed/unpacked ORB descriptors; a
 deterministic synthetic-scene vocabulary is built on demand when no file is
 given (no network => no pretrained ~40MB DBoW2 file; see SURVEY.md §7 hard
 part 6).
@@ -25,12 +32,28 @@ class Vocabulary:
         self.idf = (idf if idf is not None
                     else np.ones(self.num_words, np.float32))
 
+    def assign(self, desc_i8, valid) -> np.ndarray:
+        """(K,256) descriptors -> (K,) word ids (-1 invalid); exact
+        nearest-word quantization (one MXU Hamming matmul + argmin)."""
+        import jax.numpy as jnp
+        return np.asarray(bow_ops.assign_words(
+            jnp.asarray(desc_i8), jnp.asarray(self.centers_i8),
+            jnp.asarray(valid),
+        ))
+
+    def gate_ids(self, words: np.ndarray) -> np.ndarray:
+        """Ids used for match gating (ref match::bow_tree direct index).
+        Flat vocabulary: the words themselves."""
+        return words
+
     def save(self, path: str):
         np.savez_compressed(path, centers=self.centers_i8, idf=self.idf)
 
     @classmethod
     def load(cls, path: str) -> "Vocabulary":
         z = np.load(path)
+        if "tree_k" in z:
+            return TreeVocabulary._from_npz(z)
         return cls(z["centers"], z["idf"])
 
     @classmethod
@@ -64,6 +87,148 @@ class Vocabulary:
         counts = np.bincount(assign, minlength=num_words).astype(np.float64)
         idf = np.log(n / np.maximum(counts, 1.0)).astype(np.float32)
         return cls(centers, idf)
+
+
+class TreeVocabulary:
+    """Hierarchical k-branch / L-level binary vocabulary (DBoW2-style).
+
+    Parity with the reference's ``data/bow_vocabulary`` (a DBoW2-fork tree
+    descended greedily per descriptor; SURVEY.md §2.1): same k/L tree shape,
+    same greedy-descent quantization, same direct-index-at-level semantics
+    (``node_at_level``).  Storage is level-major dense arrays so descent is
+    L static gather+Hamming-argmin stages on device (ops/bow.py
+    ``tree_assign_words``) — no pointer chasing.  The flat ``Vocabulary``
+    remains the default (exact quantization, one matmul); this class exists
+    for reference-faithful behavior and for large vocabularies where k*L
+    comparisons beat k**L.
+    """
+
+    def __init__(self, level_centers, level_valid, k: int,
+                 idf: Optional[np.ndarray] = None):
+        self.level_centers = [c.astype(np.int8) for c in level_centers]
+        self.level_valid = [v.astype(bool) for v in level_valid]
+        self.k = int(k)
+        self.levels = len(self.level_centers)
+        self.num_words = self.k ** self.levels
+        self.idf = (idf if idf is not None
+                    else np.ones(self.num_words, np.float32))
+        # leaf centers view, for code that wants a flat (W,256) table
+        self.centers_i8 = self.level_centers[-1]
+
+    # ------------------------------------------------------------------
+    def assign(self, desc_i8, valid) -> np.ndarray:
+        import jax.numpy as jnp
+        return np.asarray(bow_ops.tree_assign_words(
+            jnp.asarray(desc_i8), jnp.asarray(valid),
+            tuple(jnp.asarray(c) for c in self.level_centers),
+            tuple(jnp.asarray(v) for v in self.level_valid),
+            self.k,
+        ))
+
+    def node_at_level(self, words: np.ndarray, level: int) -> np.ndarray:
+        """Direct index: level-``level`` ancestor of each leaf word id."""
+        return bow_ops.node_at_level(words, self.k, self.levels, level)
+
+    def gate_ids(self, words: np.ndarray) -> np.ndarray:
+        """Match-gating ids: the direct-index ancestor two levels above the
+        leaves (DBoW2's default di_levels placement), widening bow_tree
+        candidate sets exactly as the reference does."""
+        return np.asarray(self.node_at_level(
+            words, max(1, self.levels - 2)))
+
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        payload = {"tree_k": np.int64(self.k), "idf": self.idf}
+        for i, (c, v) in enumerate(zip(self.level_centers, self.level_valid)):
+            payload[f"centers_{i}"] = c
+            payload[f"valid_{i}"] = v
+        np.savez_compressed(path, **payload)
+
+    @classmethod
+    def _from_npz(cls, z) -> "TreeVocabulary":
+        k = int(z["tree_k"])
+        centers, valid = [], []
+        i = 0
+        while f"centers_{i}" in z:
+            centers.append(z[f"centers_{i}"])
+            valid.append(z[f"valid_{i}"])
+            i += 1
+        return cls(centers, valid, k, z["idf"])
+
+    @classmethod
+    def load(cls, path: str) -> "TreeVocabulary":
+        v = Vocabulary.load(path)
+        assert isinstance(v, cls), f"{path} holds a flat vocabulary"
+        return v
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def train(cls, descs_i8: np.ndarray, k: int = 8, levels: int = 3,
+              iters: int = 8, seed: int = 0) -> "TreeVocabulary":
+        """Recursive k-medians: cluster into k groups, recurse per branch
+        (the DBoW2 training scheme on binary descriptors)."""
+        rng = np.random.default_rng(seed)
+        d = descs_i8.astype(np.int32)
+        level_centers = [np.zeros((k ** (l + 1), 256), np.int8)
+                         for l in range(levels)]
+        level_valid = [np.zeros(k ** (l + 1), bool) for l in range(levels)]
+
+        def kmedians(sub: np.ndarray):
+            """(n,256) -> (centers (<=k,256) i8, assign (n,))"""
+            n = sub.shape[0]
+            kk = min(k, n)
+            centers = sub[rng.choice(n, kk, replace=False)]
+            for _ in range(iters):
+                dots = sub @ centers.T
+                dist = sub.sum(-1, keepdims=True) + centers.sum(-1)[None] \
+                    - 2 * dots
+                assign = dist.argmin(-1)
+                for w in range(kk):
+                    members = sub[assign == w]
+                    if len(members):
+                        centers[w] = (members.mean(0) > 0.5).astype(np.int32)
+                    else:
+                        centers[w] = sub[rng.integers(0, n)]
+            dots = sub @ centers.T
+            dist = sub.sum(-1, keepdims=True) + centers.sum(-1)[None] - 2 * dots
+            return centers.astype(np.int8), dist.argmin(-1)
+
+        def build(node: int, sub: np.ndarray, level: int):
+            if level == levels:
+                return
+            base = node * k
+            if sub.shape[0] == 0:
+                return
+            centers, assign = kmedians(sub)
+            for j in range(centers.shape[0]):
+                level_centers[level][base + j] = centers[j]
+                level_valid[level][base + j] = True
+                build(base + j, sub[assign == j], level + 1)
+            # interior nodes whose subtree ended early (fewer members than
+            # branches) stay invalid below; descent never enters them
+
+        build(0, d, 0)
+        # a valid interior node must have at least one valid child all the
+        # way to the leaves, else greedy descent would dead-end: propagate
+        # the node's own center down as a single valid child chain
+        for l in range(levels - 1):
+            for node in np.nonzero(level_valid[l])[0]:
+                lo, hi = node * k, node * k + k
+                if not level_valid[l + 1][lo:hi].any():
+                    level_centers[l + 1][lo] = level_centers[l][node]
+                    level_valid[l + 1][lo] = True
+        vocab = cls(level_centers, level_valid, k)
+        words = vocab.assign(descs_i8.astype(np.int8),
+                             np.ones(len(descs_i8), bool))
+        counts = np.bincount(words, minlength=vocab.num_words).astype(np.float64)
+        vocab.idf = np.log(len(descs_i8) / np.maximum(counts, 1.0)).astype(
+            np.float32)
+        return vocab
+
+
+def load_vocabulary(path: str):
+    """Load either a flat or a tree vocabulary from an .npz file."""
+    return Vocabulary.load(path)
 
 
 _DEFAULT_VOCAB_PATH = os.path.join(
@@ -123,11 +288,12 @@ class BowDatabase:
 
     # ------------------------------------------------------------------
     def compute_words(self, desc_i8: np.ndarray, valid: np.ndarray) -> np.ndarray:
-        import jax.numpy as jnp
-        return np.asarray(bow_ops.assign_words(
-            jnp.asarray(desc_i8), jnp.asarray(self.vocab.centers_i8),
-            jnp.asarray(valid),
-        ))
+        return self.vocab.assign(desc_i8, valid)
+
+    def gate_words(self, words: np.ndarray) -> np.ndarray:
+        """Ids to use in match gates (word_gate): leaf words for a flat
+        vocabulary, coarser direct-index nodes for a tree vocabulary."""
+        return self.vocab.gate_ids(words)
 
     def bow_vec(self, words: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp

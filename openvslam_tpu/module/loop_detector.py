@@ -72,7 +72,9 @@ class LoopDetector:
         words_c = self.bow_db.kf_words[cand]
         has_lm_k = (db.kf_lm_idx[kf] >= 0) & db.kf_kpt_valid[kf]
         has_lm_c = (db.kf_lm_idx[cand] >= 0) & db.kf_kpt_valid[cand]
-        gate = bow_ops.word_gate(jnp.asarray(words_k), jnp.asarray(words_c))
+        gate = bow_ops.word_gate(
+            jnp.asarray(self.bow_db.gate_words(words_k)),
+            jnp.asarray(self.bow_db.gate_words(words_c)))
         idx, dist = M.match_descriptors(
             jnp.asarray(db.kf_desc_i8[kf]), jnp.asarray(db.kf_desc_i8[cand]),
             jnp.asarray(has_lm_k), jnp.asarray(has_lm_c),

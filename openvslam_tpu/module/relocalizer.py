@@ -96,13 +96,14 @@ class Relocalizer:
             ok = (arr >= 0) & db.kf_kpt_valid[kf] \
                 & db.lm_valid[np.clip(arr, 0, None)]
             kf_desc[ci] = db.kf_desc_u32[kf]
-            kf_words[ci] = self.bow_db.kf_words[kf]
+            kf_words[ci] = self.bow_db.gate_words(self.bow_db.kf_words[kf])
             kf_ok[ci] = ok
             kf_pts[ci][ok] = db.lm_pos[arr[ok]]
         self.key, k = jax.random.split(self.key)
         idx_all, n_match, T_all, n_inl = jax.device_get(_reloc_stage1(
             k, jnp.asarray(frame.desc_i8), jnp.asarray(frame.valid),
-            jnp.asarray(frame.bearing), jnp.asarray(words),
+            jnp.asarray(frame.bearing),
+            jnp.asarray(self.bow_db.gate_words(words)),
             jnp.asarray(kf_desc), jnp.asarray(kf_words),
             jnp.asarray(kf_ok), jnp.asarray(kf_pts),
         ))

@@ -573,7 +573,8 @@ class TrackingModule:
         from ..ops import bow as bow_ops
         words = bow_db.compute_words(frame.desc_i8, frame.valid)
         gate = bow_ops.word_gate(
-            jnp.asarray(words), jnp.asarray(bow_db.kf_words[self.ref_kf])
+            jnp.asarray(bow_db.gate_words(words)),
+            jnp.asarray(bow_db.gate_words(bow_db.kf_words[self.ref_kf]))
         )
         has_lm = (db.kf_lm_idx[self.ref_kf] >= 0) & db.kf_kpt_valid[self.ref_kf]
         idx, dist = M.match_descriptors(

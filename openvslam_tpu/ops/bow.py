@@ -62,3 +62,60 @@ def l1_scores_batch(v: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
 def word_gate(words_a: jnp.ndarray, words_b: jnp.ndarray) -> jnp.ndarray:
     """(N,),(M,) -> (N,M) bool gate: same (valid) word (ref match::bow_tree)."""
     return (words_a[:, None] == words_b[None, :]) & (words_a >= 0)[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (DBoW2-style) vocabulary tree.
+#
+# The reference's vocabulary is a k-branch, L-level tree descended greedily
+# per descriptor (``data/bow_vocabulary``; SURVEY.md §2.1).  The TPU-native
+# descent is L static stages; each stage gathers the current node's k child
+# centers and takes a Hamming argmin — shapes are static (K, k, 256), no
+# pointer chasing, no data-dependent control flow.  Greedy descent is NOT
+# exact nearest-leaf quantization; this op reproduces the reference's
+# (greedy) semantics, while the flat ``assign_words`` above is the
+# exact-quantization default.
+
+_INVALID_CHILD_PENALTY = 1 << 20
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def tree_assign_words(desc_i8: jnp.ndarray, valid: jnp.ndarray,
+                      level_centers: tuple, level_valid: tuple,
+                      k: int) -> jnp.ndarray:
+    """Greedy tree descent: (K,256) descriptors -> (K,) leaf word ids.
+
+    level_centers[l] is (k**(l+1), 256) int8 in {0,1}, indexed by the base-k
+    path prefix; level_valid[l] masks children that exist in the trained
+    tree.  Returns -1 for invalid descriptors.
+    """
+    K = desc_i8.shape[0]
+    d32 = desc_i8.astype(jnp.int32)
+    na = jnp.sum(d32, -1)                                     # (K,)
+    node = jnp.zeros((K,), jnp.int32)
+    for C, V in zip(level_centers, level_valid):
+        child = node[:, None] * k + jnp.arange(k, dtype=jnp.int32)[None, :]
+        cc = C[child].astype(jnp.int32)                       # (K,k,256)
+        cv = V[child]                                         # (K,k)
+        dots = jnp.einsum("kd,kjd->kj", d32, cc)
+        nb = jnp.sum(cc, -1)                                  # (K,k)
+        dist = na[:, None] + nb - 2 * dots
+        dist = jnp.where(cv, dist, _INVALID_CHILD_PENALTY)
+        j = jnp.argmin(dist, -1).astype(jnp.int32)
+        node = node * k + j
+    return jnp.where(valid, node, -1)
+
+
+def node_at_level(words: jnp.ndarray, k: int, levels: int,
+                  level: int) -> jnp.ndarray:
+    """Ancestor node id of each leaf word at tree ``level`` (1..levels).
+
+    The reference's "direct index at level l" (used by match::bow_tree to
+    widen the candidate gate) is exactly this quotient: leaf ids are base-k
+    path encodings, so the level-l ancestor is word // k**(levels-level).
+    Invalid words (-1) stay -1.  Works on numpy or jax arrays.
+    """
+    q = k ** (levels - level)
+    anc = words // q
+    return jnp.where(words >= 0, anc, -1) if isinstance(words, jnp.ndarray) \
+        else ((words >= 0) * anc + (words < 0) * -1)
