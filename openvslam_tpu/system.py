@@ -595,13 +595,26 @@ class System:
         ) if len(self.trajectory) else np.zeros((0, 4, 4), np.float32)
         return ts, poses, mask
 
-    def save_map_database(self, path: str):
-        from .io.map_database_io import save_map
-        save_map(self.map_db, self.cfg, path)
+    def save_map_database(self, path: str, format: str = "native"):
+        """Snapshot the map.  format: "native" (columnar openvslam_tpu/1)
+        or "openvslam" (the reference's msgpack schema — interoperable with
+        maps the reference reads/writes)."""
+        if format == "openvslam":
+            from .io.msgpack_compat import save_map_openvslam
+            save_map_openvslam(self.map_db, self.cfg, path)
+        else:
+            from .io.map_database_io import save_map
+            save_map(self.map_db, self.cfg, path)
 
     def load_map_database(self, path: str):
-        from .io.map_database_io import load_map
-        load_map(self.map_db, path)
+        """Load a snapshot; the on-disk schema (native columnar vs the
+        reference's msgpack layout) is sniffed from the file itself."""
+        from .io.msgpack_compat import is_openvslam_format, load_map_openvslam
+        if is_openvslam_format(path):
+            load_map_openvslam(self.map_db, path)
+        else:
+            from .io.map_database_io import load_map
+            load_map(self.map_db, path)
         if self.global_optimizer is not None:
             # rebuild the BoW inverted index for relocalization/loop queries
             bow = self.global_optimizer.bow_db
