@@ -44,6 +44,10 @@ class FeatureConfig:
     num_levels: int = 8
     ini_fast_threshold: int = 20
     min_fast_threshold: int = 7
+    # rBRIEF test pattern: "learned" (our re-learned pattern) or "cv" (the
+    # reference's bit_pattern_31, recovered from the OpenCV oracle — use for
+    # descriptor-level interop with maps/vocabs made by the reference)
+    descriptor_pattern: str = "learned"
     # rectangular mask zones: list of [y0, y1, x0, x1] ratios (reference schema)
     mask_rectangles: tuple = ()
 
@@ -102,6 +106,7 @@ class Config:
             num_levels=int(feat.get("num_levels", 8)),
             ini_fast_threshold=int(feat.get("ini_fast_threshold", 20)),
             min_fast_threshold=int(feat.get("min_fast_threshold", 7)),
+            descriptor_pattern=str(feat.get("descriptor_pattern", "learned")),
             mask_rectangles=tuple(tuple(r) for r in feat.get("mask_rectangles", [])),
         )
         trk = d.get("Tracking", {})

@@ -58,8 +58,9 @@ class OrbFrontend:
     def __init__(self, rows: int, cols: int, max_keypts: int = 2048,
                  num_levels: int = 8, scale_factor: float = 1.2,
                  ini_fast_thr: float = 20.0, min_fast_thr: float = 7.0,
-                 cell: int = 32):
+                 cell: int = 32, pattern: str = "learned"):
         self.rows, self.cols = rows, cols
+        self.pattern = pattern  # rBRIEF test pattern: "learned" | "cv" (ops.orb)
         self.num_levels = num_levels
         self.scale_factor = scale_factor
         self.ini_fast_thr = ini_fast_thr
@@ -76,18 +77,18 @@ class OrbFrontend:
     def shared(cls, rows: int, cols: int, max_keypts: int = 2048,
                num_levels: int = 8, scale_factor: float = 1.2,
                ini_fast_thr: float = 20.0, min_fast_thr: float = 7.0,
-               cell: int = 32) -> "OrbFrontend":
+               cell: int = 32, pattern: str = "learned") -> "OrbFrontend":
         """Process-wide instance cache.  The frontend is stateless (geometry
         + compiled programs), so Systems with identical feature settings can
         share one — without this, every System re-jits the extractor (the
         jit cache is per-instance), which costs a full remote compile per
         session on tunnel-attached TPUs."""
         key = (rows, cols, max_keypts, num_levels, scale_factor,
-               ini_fast_thr, min_fast_thr, cell)
+               ini_fast_thr, min_fast_thr, cell, pattern)
         inst = cls._shared_cache.get(key)
         if inst is None:
             inst = cls(rows, cols, max_keypts, num_levels, scale_factor,
-                       ini_fast_thr, min_fast_thr, cell)
+                       ini_fast_thr, min_fast_thr, cell, pattern)
             cls._shared_cache[key] = inst
         return inst
 
@@ -118,7 +119,8 @@ class OrbFrontend:
                 # patch extraction happens per level; orientation +
                 # description run ONCE over the concatenated patches below
                 # (ops.orb.describe_patches)
-                p, fx, fy = orb.extract_patches_onehot(blurred, xy)
+                p, fx, fy = orb.extract_patches_onehot(
+                    blurred, xy, orb.pattern_radius(self.pattern))
                 patches.append(p)
                 fxs.append(fx)
                 fys.append(fy)
@@ -126,12 +128,12 @@ class OrbFrontend:
                 # fused zero-gather path: orientation + descriptors from one
                 # patch extraction (see ops.orb.describe_mxu[_binned])
                 fn = orb.describe_mxu if impl == "mxu" else orb.describe_mxu_binned
-                d_u32, ang = fn(blurred, xy)
+                d_u32, ang = fn(blurred, xy, self.pattern)
                 ans.append(ang)
                 descs.append(d_u32)
             else:
                 ang = orb.ic_angles(lvl_img, xy)
-                d_u32 = orb.brief_descriptors(blurred, xy, ang)
+                d_u32 = orb.brief_descriptors(blurred, xy, ang, self.pattern)
                 ans.append(ang)
                 descs.append(d_u32)
             xs.append(xy * self.scales[l])
@@ -147,6 +149,7 @@ class OrbFrontend:
                 jnp.concatenate(patches, 0),
                 jnp.concatenate(fxs, 0),
                 jnp.concatenate(fys, 0),
+                self.pattern,
             )
         else:
             ang = jnp.concatenate(ans, 0)

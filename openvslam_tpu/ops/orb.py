@@ -5,15 +5,23 @@ TPU-native redesign of the reference's ``orb_extractor`` describe stage
 gathers + elementwise math over a fixed keypoint capacity, not a per-keypoint
 loop.
 
-Deviation note: the reference uses the learned ``bit_pattern_31`` test pairs.
-We re-run ORB's pattern-learning procedure ourselves on synthetic patches
-(tools/make_brief_pattern.py: candidate pairs in the patch disc, keep 256
-tests with mean ~ 0.5 and low mutual correlation) and ship the result as
-assets/brief_pattern.npy.  The system is self-consistent (we never need to
-match against OpenCV descriptors) and the pattern is validated behaviorally:
-matching under known warps, Hamming-distance separation statistics, and
-end-to-end ATE.  Orientation steering rotates the pattern continuously
-instead of the reference's 30-degree lookup discretization.
+Test patterns (selectable; see ``get_pattern``):
+
+* ``"learned"`` (default) — ORB's pattern-learning procedure re-run on
+  synthetic patches (tools/make_brief_pattern.py: candidate pairs in the
+  patch disc, keep 256 tests with mean ~0.5 and low mutual correlation),
+  shipped as assets/brief_pattern.npy.  Self-consistent and validated
+  behaviorally (warp matching, Hamming separation, end-to-end ATE).
+* ``"cv"`` — the reference's actual ``bit_pattern_31`` test pairs,
+  recovered empirically from the opencv-python oracle
+  (tools/recover_orb_pattern.py; 99.88% of descriptor bits match
+  cv2.ORB's output on held-out images, the residual being cv2's internal
+  +-1 blur rounding).  Use this when descriptors must be comparable with
+  maps/vocabularies produced by the reference (io/msgpack_compat).
+
+Orientation steering rotates the pattern continuously instead of the
+reference's 30-degree lookup discretization (the binned path quantizes to
+64 bins).
 """
 from __future__ import annotations
 
@@ -32,19 +40,65 @@ DESC_BITS = 256
 # tools/make_brief_pattern.py (ORB's selection procedure re-run); fallback:
 # Gaussian BRIEF if the asset is missing.
 # ---------------------------------------------------------------------------
-_PATTERN_ASSET = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "assets", "brief_pattern.npy",
+_ASSET_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets",
 )
-if os.path.exists(_PATTERN_ASSET):
-    _pattern = np.load(_PATTERN_ASSET)
-else:  # pragma: no cover - fallback for fresh checkouts
+_PATTERN_ASSETS = {
+    "learned": os.path.join(_ASSET_DIR, "brief_pattern.npy"),
+    "cv": os.path.join(_ASSET_DIR, "orb_pattern_cv.npy"),
+}
+_pattern_cache: dict = {}
+
+
+def _load_pattern_np(name: str) -> np.ndarray:
+    path = _PATTERN_ASSETS.get(name)
+    if path is not None and os.path.exists(path):
+        return np.load(path).astype(np.float32)
+    if name == "cv":
+        raise FileNotFoundError(
+            "assets/orb_pattern_cv.npy missing — run tools/recover_orb_pattern.py"
+        )
+    # pragma: no cover - fallback for fresh checkouts
     _pat_rng = np.random.default_rng(0x0B1EF)
     _sigma = (2 * PATCH_RADIUS + 1) / 5.0
-    _pattern = np.clip(
+    return np.clip(
         _pat_rng.normal(0.0, _sigma, size=(DESC_BITS, 2, 2)),
         -PATCH_RADIUS + 1, PATCH_RADIUS - 1,
-    )
+    ).astype(np.float32)
+
+
+def get_pattern_np(name: str = "learned") -> np.ndarray:
+    if name not in _pattern_cache:
+        _pattern_cache[name] = _load_pattern_np(name)
+    return _pattern_cache[name]
+
+
+def get_pattern(name: str = "learned") -> jnp.ndarray:
+    """(256, 2 points, xy) f32 test pattern by name ("learned" | "cv")."""
+    key = ("jnp", name)
+    if key not in _pattern_cache:
+        with jax.ensure_compile_time_eval():
+            _pattern_cache[key] = jnp.asarray(get_pattern_np(name))
+    return _pattern_cache[key]
+
+
+def pattern_radius(name: str = "learned") -> int:
+    """Patch radius needed so ROTATED pattern points stay inside the patch.
+
+    The learned pattern lives in the radius-15 disc (rotation-invariant);
+    the reference's bit_pattern_31 has points up to |q| ~ 17, so its rotated
+    samples can leave a 31x31 window — cv2 samples the image directly with
+    no clipping, and the patch-based describe paths must carry a wide-enough
+    patch to reproduce that (IC moments still use the central 31x31)."""
+    key = ("radius", name)
+    if key not in _pattern_cache:
+        pat = get_pattern_np(name)
+        norm = float(np.sqrt((pat**2).sum(-1)).max())
+        _pattern_cache[key] = max(PATCH_RADIUS, int(np.ceil(norm)))
+    return _pattern_cache[key]
+
+
+_pattern = get_pattern_np("learned")
 BRIEF_PATTERN = jnp.asarray(_pattern, jnp.float32)  # (256, 2 points, xy)
 
 # circular IC-angle patch offsets: all (dx, dy) with dx^2+dy^2 <= r^2
@@ -142,14 +196,16 @@ def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def brief_descriptors_gather(
-    img_blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray
+    img_blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray,
+    pattern_name: str = "learned",
 ) -> jnp.ndarray:
     """Steered BRIEF via direct image gathers (512 point loads / keypoint)."""
+    pat = get_pattern(pattern_name)
     c = jnp.cos(angles)
     s = jnp.sin(angles)
     # rotate pattern: (N, 256, 2, 2)
-    px = BRIEF_PATTERN[None, :, :, 0]
-    py = BRIEF_PATTERN[None, :, :, 1]
+    px = pat[None, :, :, 0]
+    py = pat[None, :, :, 1]
     rx = c[:, None, None] * px - s[:, None, None] * py
     ry = s[:, None, None] * px + c[:, None, None] * py
     pts = jnp.stack([rx, ry], -1) + xy[:, None, None, :]      # (N,256,2,2)
@@ -178,7 +234,8 @@ def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, radius: int = PATCH_RADIU
 
 
 def brief_descriptors_patch(
-    img_blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray
+    img_blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray,
+    pattern_name: str = "learned",
 ) -> jnp.ndarray:
     """Steered BRIEF via per-keypoint patch extraction + in-patch sampling.
 
@@ -196,10 +253,11 @@ def brief_descriptors_patch(
     y0 = jnp.clip(jnp.round(xy[:, 1]), r, h - r - 1)
     fx = (xy[:, 0] - x0)[:, None, None]
     fy = (xy[:, 1] - y0)[:, None, None]
+    pat = get_pattern(pattern_name)
     c = jnp.cos(angles)
     s = jnp.sin(angles)
-    px = BRIEF_PATTERN[None, :, :, 0]
-    py = BRIEF_PATTERN[None, :, :, 1]
+    px = pat[None, :, :, 0]
+    py = pat[None, :, :, 1]
     rx = c[:, None, None] * px - s[:, None, None] * py          # (N,256,2)
     ry = s[:, None, None] * px + c[:, None, None] * py
     xi = jnp.clip(jnp.round(rx + fx).astype(jnp.int32) + r, 0, d - 1)
@@ -241,16 +299,19 @@ def extract_patches_onehot(img_blurred: jnp.ndarray, xy: jnp.ndarray,
     return patches, xy[:, 0] - x0, xy[:, 1] - y0
 
 
-def describe_mxu(img_blurred: jnp.ndarray, xy: jnp.ndarray):
+def describe_mxu(img_blurred: jnp.ndarray, xy: jnp.ndarray,
+                 pattern_name: str = "learned"):
     """Orientation + steered BRIEF with zero scattered gathers — one-hot
     patch extraction (extract_patches_onehot) + one-hot selection sampling
     (describe_patches).  Returns (desc_u32 (N,8), angles (N,))."""
-    patches, fx, fy = extract_patches_onehot(img_blurred, xy)
-    return describe_patches(patches, fx, fy)
+    patches, fx, fy = extract_patches_onehot(
+        img_blurred, xy, pattern_radius(pattern_name))
+    return describe_patches(patches, fx, fy, pattern_name)
 
 
-def brief_descriptors_mxu(img_blurred, xy, angles_unused=None):
-    return describe_mxu(img_blurred, xy)[0]
+def brief_descriptors_mxu(img_blurred, xy, angles_unused=None,
+                          pattern_name: str = "learned"):
+    return describe_mxu(img_blurred, xy, pattern_name)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +321,7 @@ NUM_ANGLE_BINS = 64
 _binned_tables_cache = {}
 
 
-def _binned_tables(num_bins: int):
+def _binned_tables(num_bins: int, pattern_name: str = "learned"):
     """Precompute per-bin one-hot selection tables for the rotated pattern.
 
     The reference steers BRIEF by a 12-bin (30 deg) rotated-pattern lookup
@@ -271,13 +332,15 @@ def _binned_tables(num_bins: int):
     tools/tpu_measure10.py) becomes a row gather of constant tables.
     Returns (oh_y (B,512,d), oh_x (B,512,d)) bfloat16.
     """
-    if num_bins not in _binned_tables_cache:
-        r = PATCH_RADIUS
+    key = (num_bins, pattern_name)
+    if key not in _binned_tables_cache:
+        r = pattern_radius(pattern_name)
         d = 2 * r + 1
         th = np.arange(num_bins) * (2 * np.pi / num_bins)
         c, s = np.cos(th), np.sin(th)
-        px = np.asarray(_pattern)[None, :, :, 0]          # (1,256,2)
-        py = np.asarray(_pattern)[None, :, :, 1]
+        pat = get_pattern_np(pattern_name)
+        px = pat[None, :, :, 0]                           # (1,256,2)
+        py = pat[None, :, :, 1]
         rx = c[:, None, None] * px - s[:, None, None] * py    # (B,256,2)
         ry = s[:, None, None] * px + c[:, None, None] * py
         xi = np.clip(np.round(rx).astype(np.int64) + r, 0, d - 1)
@@ -292,12 +355,13 @@ def _binned_tables(num_bins: int):
         # eagerly (numpy in, no traced conversion) or the cache would hold
         # tracers from that trace
         with jax.ensure_compile_time_eval():
-            _binned_tables_cache[num_bins] = (jnp.asarray(ohy), jnp.asarray(ohx))
-    return _binned_tables_cache[num_bins]
+            _binned_tables_cache[key] = (jnp.asarray(ohy), jnp.asarray(ohx))
+    return _binned_tables_cache[key]
 
 
 def describe_patches_binned(patches: jnp.ndarray,
-                            num_bins: int = NUM_ANGLE_BINS):
+                            num_bins: int = NUM_ANGLE_BINS,
+                            pattern_name: str = "learned"):
     """Orientation + steered BRIEF from (N,d,d) patches with BINNED steering.
 
     Like describe_patches, but the rotated sample positions come from
@@ -307,19 +371,22 @@ def describe_patches_binned(patches: jnp.ndarray,
     integer-positioned; the reference's pattern lookup has no sub-pixel
     term either).  Returns (desc_u32 (N,8), angles (N,) — continuous).
     """
-    r = PATCH_RADIUS
+    d = patches.shape[1]
+    r = (d - 1) // 2
     n = patches.shape[0]
     bf = jnp.bfloat16
     patch = patches.astype(jnp.float32)
 
-    ramp = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    m10 = jnp.einsum("nrc,c->n", patch, ramp)
-    m01 = jnp.einsum("nrc,r->n", patch, ramp)
+    mo = r - PATCH_RADIUS
+    mpatch = patch[:, mo:d - mo, mo:d - mo] if mo else patch
+    ramp = jnp.arange(-PATCH_RADIUS, PATCH_RADIUS + 1, dtype=jnp.float32)
+    m10 = jnp.einsum("nrc,c->n", mpatch, ramp)
+    m01 = jnp.einsum("nrc,r->n", mpatch, ramp)
     angles = jnp.arctan2(m01, m10)
 
     step = 2 * np.pi / num_bins
     bins = jnp.mod(jnp.round(angles / step).astype(jnp.int32), num_bins)
-    t_y, t_x = _binned_tables(num_bins)
+    t_y, t_x = _binned_tables(num_bins, pattern_name)
     oh_y = jnp.take(t_y, bins, axis=0)                   # (N,512,d) bf16
     oh_x = jnp.take(t_x, bins, axis=0)
     tmp = jax.lax.dot_general(
@@ -333,17 +400,21 @@ def describe_patches_binned(patches: jnp.ndarray,
     return _pack_bits(bits), angles
 
 
-def describe_mxu_binned(img_blurred: jnp.ndarray, xy: jnp.ndarray):
+def describe_mxu_binned(img_blurred: jnp.ndarray, xy: jnp.ndarray,
+                        pattern_name: str = "learned"):
     """Zero-gather one-hot patches + binned-steering describe."""
-    patches, _, _ = extract_patches_onehot(img_blurred, xy)
-    return describe_patches_binned(patches)
+    patches, _, _ = extract_patches_onehot(
+        img_blurred, xy, pattern_radius(pattern_name))
+    return describe_patches_binned(patches, pattern_name=pattern_name)
 
 
-def brief_descriptors_mxu_binned(img_blurred, xy, angles_unused=None):
-    return describe_mxu_binned(img_blurred, xy)[0]
+def brief_descriptors_mxu_binned(img_blurred, xy, angles_unused=None,
+                                 pattern_name: str = "learned"):
+    return describe_mxu_binned(img_blurred, xy, pattern_name)[0]
 
 
-def describe_patches(patches: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray):
+def describe_patches(patches: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
+                     pattern_name: str = "learned"):
     """Orientation + steered BRIEF from pre-extracted (N,d,d) patches —
     the batched-levels describe stage (impl "mxu2").
 
@@ -355,21 +426,26 @@ def describe_patches(patches: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray):
     1.91 ms extraction, tools/tpu_measure6.py).
     Returns (desc_u32 (N,8), angles (N,)).
     """
-    r = PATCH_RADIUS
-    d = 2 * r + 1
+    d = patches.shape[1]
+    r = (d - 1) // 2          # patch radius (> PATCH_RADIUS for "cv")
     n = patches.shape[0]
     bf = jnp.bfloat16
     patch = patches.astype(jnp.float32)
 
-    ramp = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    m10 = jnp.einsum("nrc,c->n", patch, ramp)
-    m01 = jnp.einsum("nrc,r->n", patch, ramp)
+    # IC moments always over the central 31x31 window (the angle definition
+    # is independent of how far the descriptor pattern reaches)
+    mo = r - PATCH_RADIUS
+    mpatch = patch[:, mo:d - mo, mo:d - mo] if mo else patch
+    ramp = jnp.arange(-PATCH_RADIUS, PATCH_RADIUS + 1, dtype=jnp.float32)
+    m10 = jnp.einsum("nrc,c->n", mpatch, ramp)
+    m01 = jnp.einsum("nrc,r->n", mpatch, ramp)
     angles = jnp.arctan2(m01, m10)
 
+    pat = get_pattern(pattern_name)
     c = jnp.cos(angles)
     s = jnp.sin(angles)
-    px = BRIEF_PATTERN[None, :, :, 0]
-    py = BRIEF_PATTERN[None, :, :, 1]
+    px = pat[None, :, :, 0]
+    py = pat[None, :, :, 1]
     rx = c[:, None, None] * px - s[:, None, None] * py
     ry = s[:, None, None] * px + c[:, None, None] * py
     xi = jnp.clip(jnp.round(rx + fx[:, None, None]).astype(jnp.int32) + r, 0, d - 1)
@@ -418,8 +494,8 @@ def brief_impl_name() -> str:
     return _brief_name
 
 
-def brief_descriptors(img_blurred, xy, angles):
-    return _BRIEF_IMPLS[brief_impl_name()](img_blurred, xy, angles)
+def brief_descriptors(img_blurred, xy, angles, pattern_name: str = "learned"):
+    return _BRIEF_IMPLS[brief_impl_name()](img_blurred, xy, angles, pattern_name)
 
 
 def unpack_bits_i8(packed: jnp.ndarray) -> jnp.ndarray:

@@ -54,6 +54,7 @@ class System:
             scale_factor=cfg.feature.scale_factor,
             ini_fast_thr=cfg.feature.ini_fast_threshold,
             min_fast_thr=cfg.feature.min_fast_threshold,
+            pattern=cfg.feature.descriptor_pattern,
         )
         self.map_db = MapDatabase(kpt_capacity=self.frontend.capacity)
         # register this session's camera in the map's camera database

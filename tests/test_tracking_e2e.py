@@ -8,14 +8,15 @@ from openvslam_tpu.system import System
 from openvslam_tpu.utils import synthetic, evaluate
 
 
-def _make_config(rows=320, cols=416, n_feats=600):
+def _make_config(rows=320, cols=416, n_feats=600, **feature_extra):
     return Config.from_dict({
         "Camera": {
             "name": "synthetic", "setup": "monocular", "model": "perspective",
             "fx": 350.0, "fy": 350.0, "cx": cols / 2, "cy": rows / 2,
             "cols": cols, "rows": rows, "fps": 20,
         },
-        "Feature": {"max_num_keypts": n_feats, "num_levels": 4, "scale_factor": 1.2},
+        "Feature": {"max_num_keypts": n_feats, "num_levels": 4,
+                    "scale_factor": 1.2, **feature_extra},
         "LoopDetector": {"enabled": False},
     })
 
