@@ -27,6 +27,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="dump frame_trajectory.txt + track_times.txt")
     p.add_argument("--map-db-in", default=None)
     p.add_argument("--map-db-out", default=None)
+    p.add_argument("--map-format", default="native",
+                   choices=["native", "openvslam"],
+                   help="--map-db-out schema: fast columnar (native) or the "
+                        "reference's msgpack layout (openvslam); loading "
+                        "auto-detects either")
     p.add_argument("--traj-out", default="frame_trajectory.txt")
     p.add_argument("--traj-format", default="TUM", choices=["TUM", "KITTI"])
     p.add_argument("--viewer", action="store_true",
@@ -156,7 +161,7 @@ def finish(args, system, track_times):
         with open("track_times.txt", "w") as f:
             f.writelines(f"{t:.9f}\n" for t in track_times)
     if args.map_db_out:
-        system.save_map_database(args.map_db_out)
+        system.save_map_database(args.map_db_out, format=args.map_format)
     tt = np.array(track_times)
     if len(tt):
         print(f"median tracking time: {np.median(tt)*1000:.1f} ms "
