@@ -237,11 +237,16 @@ _DEFAULT_VOCAB_PATH = os.path.join(
 )
 
 
-def default_vocabulary(num_words: int = 1024, cache_path: Optional[str] = None
-                       ) -> Vocabulary:
+def default_vocabulary(num_words: int = 1024, cache_path: Optional[str] = None,
+                       pattern: str = "learned") -> Vocabulary:
     """Deterministic built-in vocabulary trained on synthetic-scene ORB
-    descriptors (cached to assets/)."""
+    descriptors (cached to assets/).  A separate vocabulary is trained and
+    cached per descriptor pattern — words learned on one pattern's
+    descriptor distribution quantize another's poorly."""
     path = cache_path or os.path.abspath(_DEFAULT_VOCAB_PATH)
+    if pattern != "learned" and cache_path is None:
+        base, ext = os.path.splitext(path)
+        path = f"{base}_{pattern}{ext}"
     if os.path.exists(path):
         v = Vocabulary.load(path)
         if v.num_words == num_words:
@@ -253,7 +258,8 @@ def default_vocabulary(num_words: int = 1024, cache_path: Optional[str] = None
 
     cam = Perspective.create(fx=350.0, fy=350.0, cx=208.0, cy=160.0,
                              cols=416, rows=320)
-    fe = OrbFrontend(rows=320, cols=416, max_keypts=600, num_levels=4)
+    fe = OrbFrontend(rows=320, cols=416, max_keypts=600, num_levels=4,
+                     pattern=pattern)
     descs = []
     rng = np.random.default_rng(123)
     for s in range(6):

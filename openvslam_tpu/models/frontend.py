@@ -158,3 +158,70 @@ class OrbFrontend:
         # zero out invalid descriptors so matmuls can't produce spurious hits
         d8 = jnp.where(valid[:, None], d8, 0)
         return Keypoints(xy, resp, lvl, ang, d32, d8, valid)
+
+    # ------------------------------------------------------------------
+    # multi-stream extraction (the aggregate-throughput regime: K sessions
+    # or offline mapping on one chip).  FAST runs as ONE row-stacked Pallas
+    # launch per level for the whole batch (ops.fast.detect_level_batch);
+    # selection/blur/describe are the same single-frame formulations under
+    # vmap, so per-frame results match extract() (descriptors bit-wise on
+    # the XLA paths; the batched one-hot contractions also fill the MXU far
+    # better than 1k-keypoint single frames — see docs/kernels.md).
+    # ------------------------------------------------------------------
+    def extract_batch(self, images_u8: jnp.ndarray,
+                      masks: jnp.ndarray | None = None) -> Keypoints:
+        """(B,H,W) u8 -> Keypoints with a leading batch axis."""
+        if masks is None:
+            return self._extract_batch(images_u8, None)
+        return self._extract_batch(images_u8, masks)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _extract_batch_impl(self, images_u8, masks):
+        impl = orb.brief_impl_name()
+        imgs = images_u8.astype(jnp.float32)          # (B,H,W)
+        b = imgs.shape[0]
+        shapes = pyramid.level_shapes(self.rows, self.cols,
+                                      self.num_levels, self.scale_factor)
+        levels = [imgs]
+        for l in range(1, self.num_levels):
+            hl, wl = shapes[l]
+            levels.append(jax.image.resize(
+                levels[-1], (b, hl, wl), method="linear", antialias=True))
+        xs, rs, ls, ans, descs, vs = [], [], [], [], [], []
+        for l, (lvl_imgs, budget) in enumerate(zip(levels, self.budgets)):
+            lvl_masks = None
+            if masks is not None:
+                lvl_masks = jax.image.resize(
+                    masks, lvl_imgs.shape, method="nearest")
+            xy, resp, valid = fast.detect_level_batch(
+                lvl_imgs, self.ini_fast_thr, self.min_fast_thr, budget,
+                cell=self.cell, masks=lvl_masks,
+            )
+            blurred = jax.vmap(pyramid.gaussian_blur)(lvl_imgs)
+            if impl in ("mxu", "mxu2", "binned"):
+                fn = (orb.describe_mxu_binned if impl == "binned"
+                      else orb.describe_mxu)
+                d_u32, ang = jax.vmap(lambda im, p: fn(im, p, self.pattern))(
+                    blurred, xy)
+            else:
+                ang = jax.vmap(orb.ic_angles)(lvl_imgs, xy)
+                d_u32 = jax.vmap(
+                    lambda im, p, a: orb.brief_descriptors(im, p, a, self.pattern)
+                )(blurred, xy, ang)
+            xs.append(xy * self.scales[l])
+            rs.append(resp)
+            ls.append(jnp.broadcast_to(jnp.int32(l), (b, budget)))
+            vs.append(valid)
+            ans.append(ang)
+            descs.append(d_u32)
+        xy = jnp.concatenate(xs, 1)
+        resp = jnp.concatenate(rs, 1)
+        lvl = jnp.concatenate(ls, 1)
+        valid = jnp.concatenate(vs, 1)
+        ang = jnp.concatenate(ans, 1)
+        d32 = jnp.concatenate(descs, 1)
+        d8 = jax.vmap(orb.unpack_bits_i8)(d32)
+        d8 = jnp.where(valid[:, :, None], d8, 0)
+        return Keypoints(xy, resp, lvl, ang, d32, d8, valid)
+
+    _extract_batch = _extract_batch_impl

@@ -108,7 +108,8 @@ class TrackStep:
         spec = tuple(sorted(camera_to_config(cam).items()))
         fe = (frontend.rows, frontend.cols, frontend.capacity,
               frontend.num_levels, frontend.scale_factor,
-              frontend.ini_fast_thr, frontend.min_fast_thr, frontend.cell)
+              frontend.ini_fast_thr, frontend.min_fast_thr, frontend.cell,
+              frontend.pattern)
         key = (spec, fe, lm_capacity, mode)
         inst = cls._shared_cache.get(key)
         if inst is None:

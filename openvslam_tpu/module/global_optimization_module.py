@@ -29,7 +29,8 @@ class GlobalOptimizationModule:
         self.cam = cam
         self.db = map_db
         if vocab_path is None or vocab_path == "default":
-            vocab = default_vocabulary()
+            vocab = default_vocabulary(
+                pattern=cfg.feature.descriptor_pattern)
         else:
             vocab = Vocabulary.load(vocab_path)
         self.bow_db = BowDatabase(vocab, map_db)

@@ -15,6 +15,7 @@ Everything returns fixed-size arrays (capacity + validity mask).
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -143,6 +144,19 @@ def detect_level(
     Returns (xy (max_pts,2) f32, response (max_pts,) f32, valid (max_pts,) bool).
     """
     s_hi, s_lo = _score_maps_hi_lo(img, ini_threshold, min_threshold)
+    return select_from_scores(s_hi, s_lo, max_pts, cell=cell, mask=mask)
+
+
+def select_from_scores(
+    s_hi: jnp.ndarray,
+    s_lo: jnp.ndarray,
+    max_pts: int,
+    cell: int = 32,
+    mask: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-threshold preference + NMS + grid top-k from precomputed score
+    maps (the post-detection half of detect_level; vmap-able over a leading
+    batch axis for the multi-stream frontend)."""
     # prefer hi-threshold corners: they get a large additive bonus, lo-only
     # corners survive where no hi response exists (the reference's fallback).
     bonus = jnp.float32(1e4)
@@ -151,7 +165,7 @@ def detect_level(
     if mask is not None:
         score = jnp.where(mask > 0, score, 0.0)
 
-    h, w = img.shape
+    h, w = score.shape
     gh, gw = -(-h // cell), -(-w // cell)
     ph, pw = gh * cell - h, gw * cell - w
     sp = jnp.pad(score, ((0, ph), (0, pw)))
@@ -179,3 +193,49 @@ def detect_level(
     resp = jnp.where(topv > bonus * 0.5, topv - bonus, topv)
     xy = jnp.stack([x, y], -1).astype(jnp.float32)
     return xy, resp, valid
+
+
+def _score_maps_hi_lo_batch(imgs: jnp.ndarray, t_hi: float, t_lo: float):
+    """(B,H,W) -> two (B,H,W) score maps.
+
+    Pallas path: the B frames are row-stacked (heights padded to the 8-row
+    DMA alignment) into ONE tall image so the whole batch is a single kernel
+    launch.  Correctness at frame seams: a score at row r reads rows r+-3,
+    and select_from_scores zeroes the 3 border rows of every frame, so no
+    surviving score ever reads a neighboring frame's pixels.  XLA path:
+    vmap of the dense formulation.
+    """
+    b, h, w = imgs.shape
+    if _use_pallas():
+        from .pallas.fast_kernel import fast_score_maps_pallas
+
+        hp = ((h + 7) // 8) * 8
+        stacked = jnp.pad(imgs, ((0, 0), (0, hp - h), (0, 0)))
+        stacked = stacked.reshape(b * hp, w)
+        s_hi, s_lo = fast_score_maps_pallas(stacked, float(t_hi), float(t_lo))
+        s_hi = s_hi.reshape(b, hp, w)[:, :h]
+        s_lo = s_lo.reshape(b, hp, w)[:, :h]
+        # re-zero per-frame borders (the kernel only zeroed the global ones)
+        row = jnp.arange(h)[None, :, None]
+        edge = (row >= _BORDER) & (row < h - _BORDER)
+        return jnp.where(edge, s_hi, 0.0), jnp.where(edge, s_lo, 0.0)
+    maps = jax.vmap(lambda im: fast_score_maps(im, [t_hi, t_lo]))(imgs)
+    return maps[0], maps[1]
+
+
+def detect_level_batch(
+    imgs: jnp.ndarray,
+    ini_threshold: float,
+    min_threshold: float,
+    max_pts: int,
+    cell: int = 32,
+    masks: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """detect_level over a batch of frames (B,H,W): one stacked Pallas
+    launch for the score maps, vmapped selection.  Returns
+    (xy (B,max_pts,2), response (B,max_pts), valid (B,max_pts))."""
+    s_hi, s_lo = _score_maps_hi_lo_batch(imgs, ini_threshold, min_threshold)
+    sel = functools.partial(select_from_scores, max_pts=max_pts, cell=cell)
+    if masks is None:
+        return jax.vmap(lambda a, b_: sel(a, b_))(s_hi, s_lo)
+    return jax.vmap(lambda a, b_, m: sel(a, b_, mask=m))(s_hi, s_lo, masks)

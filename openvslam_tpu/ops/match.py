@@ -144,7 +144,7 @@ def projection_scale_match(
     a_desc_i8, b_desc_i8, uv, vis, radius, pred_level,
     b_xy, b_level, b_valid,
     max_dist: int = HAMMING_DIST_THR_HIGH,
-    ratio=None, cross_check: bool = True,
+    ratio=None, cross_check: bool = True, use_pallas: bool | None = None,
 ):
     """Projection-radius + octave gated matcher — THE guided-search matcher of
     the tracking/fuse hot path (ref match::projection, match::fuse).
@@ -156,8 +156,10 @@ def projection_scale_match(
     uv/vis: projected landmark pixel positions and their validity (already
     ANDed with landmark validity).  pred_level < 0 disables the octave gate
     for that row.  Returns (idx_b (L,) int32 [-1 unmatched], dist (L,)).
+    use_pallas=False forces the XLA composition (e.g. under vmap, where a
+    pallas_call with scalar-prefetch operands cannot be batched).
     """
-    if _use_pallas_match():
+    if _use_pallas_match() if use_pallas is None else use_pallas:
         from .pallas.match_kernel import projection_match_pallas
 
         return projection_match_pallas(

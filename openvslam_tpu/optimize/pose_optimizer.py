@@ -40,7 +40,8 @@ _SHARED_JITTED: dict = {}
 
 
 def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
-                        iters_per_round: int = 10, jit: bool = True):
+                        iters_per_round: int = 10, jit: bool = True,
+                        allow_pallas: bool = True):
     """Memoizing wrapper over the factory below: jitted optimizers are
     cached per (camera spec, schedule) so Systems with equal cameras share
     one compiled program instead of re-jitting per session (a full remote
@@ -48,21 +49,24 @@ def make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
     not cached — they are traced into the caller's program anyway."""
     if not jit:
         return _make_pose_optimizer(cam, stereo, num_rounds,
-                                    iters_per_round, jit=False)
+                                    iters_per_round, jit=False,
+                                    allow_pallas=allow_pallas)
     from ..camera.base import camera_to_config
     key = (tuple(sorted(camera_to_config(cam).items())),
            bool(stereo), int(num_rounds), int(iters_per_round),
-           _use_pallas_poselm())
+           _use_pallas_poselm() and allow_pallas)
     fn = _SHARED_JITTED.get(key)
     if fn is None:
         fn = _make_pose_optimizer(cam, stereo, num_rounds,
-                                  iters_per_round, jit=True)
+                                  iters_per_round, jit=True,
+                                  allow_pallas=allow_pallas)
         _SHARED_JITTED[key] = fn
     return fn
 
 
 def _make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
-                         iters_per_round: int = 10, jit: bool = True):
+                         iters_per_round: int = 10, jit: bool = True,
+                         allow_pallas: bool = True):
     """Build a jitted pose optimizer for one camera model.
 
     Returned fn(T_init (4,4), X_w (N,3), obs (N,2|3), sigma2 (N,), mask (N,))
@@ -76,7 +80,7 @@ def _make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
     jit=False returns the raw traced function for composition inside a
     larger jitted program (models.track_step).
     """
-    if (_use_pallas_poselm()
+    if (_use_pallas_poselm() and allow_pallas
             and getattr(cam, "model_name", "") == "perspective"):
         from ..ops.pallas.pose_lm_kernel import pose_lm_pallas
 

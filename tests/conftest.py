@@ -24,3 +24,18 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(7)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The suite compiles hundreds of large XLA:CPU programs in one process;
+    past ~130 tests the accumulated JIT state makes the NEXT compilation
+    segfault inside backend_compile_and_load (reproducible at
+    test_solvers.py::test_pnp_epnp_exact_and_minimal, which passes in
+    isolation).  Dropping the caches at module boundaries keeps the
+    process under the limit; cross-module executable reuse is minimal, so
+    the wall-time cost is small."""
+    yield
+    jax.clear_caches()
