@@ -227,8 +227,113 @@ class TreeVocabulary:
 
 
 def load_vocabulary(path: str):
-    """Load either a flat or a tree vocabulary from an .npz file."""
+    """Load a vocabulary: .npz (flat or tree, native) or an ORB-SLAM-style
+    text vocabulary (``ORBvoc.txt``-format; see load_orbslam_text)."""
+    if path.endswith(".txt"):
+        return load_orbslam_text(path)
     return Vocabulary.load(path)
+
+
+# ---------------------------------------------------------------------------
+# ORB-SLAM / DBoW2 text vocabulary format.
+#
+# The ecosystem's standard pretrained ORB vocabulary (ORB-SLAM2's
+# ``ORBvoc.txt``; the reference ships the same tree as a binary
+# ``orb_vocab.dbow2``, whose fork-specific binary layout has no oracle
+# available offline).  Text layout, reconstructed from DBoW2's
+# TemplatedVocabulary::loadFromTextFile/saveToTextFile:
+#
+#   line 1:  k L scoring_type weighting_type
+#   then one line per non-root node, parents before children:
+#            <parent_node_id> <is_leaf 0|1> <32 descriptor bytes as ints>
+#            <weight>
+#
+# Node ids are implicit: root is 0, each following line is the next id.
+# Leaves may occur above the deepest level in imbalanced branches; they are
+# propagated straight down (single valid child chain, same convention the
+# trainer uses) so greedy descent reaches a bottom-level word.  Word ids
+# are our level-major slot ids, NOT DBoW2's word ids — the vocabulary is
+# loaded for its quantization semantics, which don't depend on id labels.
+# ---------------------------------------------------------------------------
+
+def _desc_bytes_to_bits(vals) -> np.ndarray:
+    b = np.asarray(vals, np.uint8)
+    return np.unpackbits(b, bitorder="little").astype(np.int8)
+
+
+def _bits_to_desc_bytes(bits: np.ndarray) -> np.ndarray:
+    return np.packbits(bits.astype(np.uint8), bitorder="little")
+
+
+def load_orbslam_text(path: str) -> "TreeVocabulary":
+    with open(path) as f:
+        header = f.readline().split()
+        k, levels = int(header[0]), int(header[1])
+        level_centers = [np.zeros((k ** (l + 1), 256), np.int8)
+                         for l in range(levels)]
+        level_valid = [np.zeros(k ** (l + 1), bool) for l in range(levels)]
+        # node bookkeeping: id -> (level, slot); root = (-1, 0)
+        node_level = {0: -1}
+        node_slot = {0: 0}
+        n_children: Dict[int, int] = {0: 0}
+        leaf_weights: List[tuple] = []       # (level, slot, weight)
+        next_id = 1
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            pid = int(parts[0])
+            is_leaf = int(parts[1])
+            bits = _desc_bytes_to_bits([int(v) for v in parts[2:34]])
+            weight = float(parts[34])
+            lvl = node_level[pid] + 1
+            rank = n_children[pid]
+            assert rank < k, f"node {pid} has more than k={k} children"
+            slot = node_slot[pid] * k + rank
+            n_children[pid] = rank + 1
+            level_centers[lvl][slot] = bits
+            level_valid[lvl][slot] = True
+            node_level[next_id] = lvl
+            node_slot[next_id] = slot
+            n_children[next_id] = 0
+            if is_leaf:
+                leaf_weights.append((lvl, slot, weight))
+            next_id += 1
+    # propagate early leaves (and their weights) down to the bottom level
+    idf = np.ones(k ** levels, np.float32)
+    for lvl, slot, weight in leaf_weights:
+        s_ = slot
+        for l in range(lvl + 1, levels):
+            child = s_ * k
+            level_centers[l][child] = level_centers[l - 1][s_]
+            level_valid[l][child] = True
+            s_ = child
+        idf[s_ if lvl < levels else slot] = weight
+    vocab = TreeVocabulary(level_centers, level_valid, k, idf)
+    return vocab
+
+
+def save_orbslam_text(vocab: "TreeVocabulary", path: str,
+                      scoring: int = 0, weighting: int = 0):
+    """Write a TreeVocabulary in the text format above (roundtrip tested;
+    also lets our trained vocabularies feed DBoW2-based stacks)."""
+    k, levels = vocab.k, vocab.levels
+    with open(path, "w") as f:
+        f.write(f"{k} {levels} {scoring} {weighting}\n")
+        # BFS, assigning ids as we go; remember each slot's assigned id
+        ids = {(-1, 0): 0}
+        for lvl in range(levels):
+            for slot in np.nonzero(vocab.level_valid[lvl])[0]:
+                slot = int(slot)
+                parent = (lvl - 1, slot // k) if lvl else (-1, 0)
+                pid = ids[parent]
+                is_leaf = 1 if lvl == levels - 1 else                     0 if vocab.level_valid[lvl + 1][slot * k:slot * k + k].any() else 1
+                byts = _bits_to_desc_bytes(vocab.level_centers[lvl][slot])
+                w = float(vocab.idf[slot]) if lvl == levels - 1 else 0.0
+                f.write(f"{pid} {is_leaf} "
+                        + " ".join(str(int(v)) for v in byts)
+                        + f" {w}\n")
+                ids[(lvl, slot)] = len(ids)
 
 
 _DEFAULT_VOCAB_PATH = os.path.join(

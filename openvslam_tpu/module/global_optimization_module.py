@@ -11,7 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..camera.base import SetupType
-from ..data.bow import BowDatabase, Vocabulary, default_vocabulary
+from ..data.bow import BowDatabase, Vocabulary, default_vocabulary, load_vocabulary
 from ..ops import sim3 as sim3_ops
 from ..optimize import residuals as R2
 from ..optimize.ba import BAProblem, shared_global_ba
@@ -32,7 +32,7 @@ class GlobalOptimizationModule:
             vocab = default_vocabulary(
                 pattern=cfg.feature.descriptor_pattern)
         else:
-            vocab = Vocabulary.load(vocab_path)
+            vocab = load_vocabulary(vocab_path)
         self.bow_db = BowDatabase(vocab, map_db)
         self.loop_detector = LoopDetector(cfg, cam, map_db, self.bow_db, fix_scale)
         self.stereo = cam.setup != SetupType.MONOCULAR
