@@ -308,7 +308,7 @@ def load_orbslam_text(path: str) -> "TreeVocabulary":
             level_centers[l][child] = level_centers[l - 1][s_]
             level_valid[l][child] = True
             s_ = child
-        idf[s_ if lvl < levels else slot] = weight
+        idf[s_] = weight
     vocab = TreeVocabulary(level_centers, level_valid, k, idf)
     return vocab
 

@@ -89,12 +89,13 @@ def save_map(db, cfg, path: str):
         f.write(msgpack.packb(blob, use_bin_type=True))
 
 
-def load_map(db, path: str):
+def load_map(db, path: str, blob: Dict[str, Any] = None):
     """Rebuild the database contents from a snapshot (into an EMPTY db)."""
     from ..ops import orb
 
-    with open(path, "rb") as f:
-        blob = msgpack.unpackb(f.read(), raw=False)
+    if blob is None:
+        with open(path, "rb") as f:
+            blob = msgpack.unpackb(f.read(), raw=False)
     assert blob.get("format", "").startswith("openvslam_tpu/")
     assert db.n_kfs == 0 and db.n_lms == 0, "load into a fresh database"
 

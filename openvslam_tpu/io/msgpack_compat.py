@@ -35,10 +35,13 @@ place):
 """
 from __future__ import annotations
 
+import logging
 from typing import Any, Dict, Optional
 
 import msgpack
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -230,17 +233,21 @@ def save_map_openvslam(db, cfg, path: str):
 # load
 # ---------------------------------------------------------------------------
 
-def is_openvslam_format(path: str) -> bool:
-    """Cheap sniff: reference maps have no "format" key and keep keyframes
-    as an id-keyed map; our native format carries "format": "openvslam_tpu/…"."""
-    with open(path, "rb") as f:
-        blob = msgpack.unpackb(f.read(), raw=False)
+def sniff_blob(blob: Dict[str, Any]) -> bool:
+    """True if an unpacked map dict is in the reference's schema (no
+    "format" key, id-keyed "keyframes" map)."""
     return ("format" not in blob and "keyframes" in blob
             and isinstance(blob["keyframes"], dict))
 
 
+def is_openvslam_format(path: str) -> bool:
+    with open(path, "rb") as f:
+        return sniff_blob(msgpack.unpackb(f.read(), raw=False))
+
+
 def load_map_openvslam(db, path: str,
-                       kpt_capacity: Optional[int] = None):
+                       kpt_capacity: Optional[int] = None,
+                       blob: Optional[Dict[str, Any]] = None):
     """Rebuild an EMPTY MapDatabase from a reference-format msgpack map.
 
     Returns ``(camera_json_by_name, orb_params_dict)`` mirroring the native
@@ -252,8 +259,9 @@ def load_map_openvslam(db, path: str,
 
     from ..ops import orb
 
-    with open(path, "rb") as f:
-        blob = msgpack.unpackb(f.read(), raw=False)
+    if blob is None:
+        with open(path, "rb") as f:
+            blob = msgpack.unpackb(f.read(), raw=False)
     assert db.n_kfs == 0 and db.n_lms == 0, "load into a fresh database"
 
     cam_name_map: Dict[str, str] = {}
@@ -281,6 +289,11 @@ def load_map_openvslam(db, path: str,
         db.kf_timestamp[kf] = float(k.get("ts", 0.0))
         db.kf_src_frame[kf] = int(k.get("src_frm_id", -1))
         n = int(k.get("n_keypts", len(k.get("keypts", ()))))
+        if n > K:
+            log.warning(
+                "keyframe %s carries %d keypoints but the database capacity "
+                "is %d; truncating (raise Feature.max_num_keypts to keep "
+                "them all)", sid, n, K)
         n = min(n, K)
         xy = np.zeros((K, 2), np.float32)
         und = np.zeros((K, 2), np.float32)

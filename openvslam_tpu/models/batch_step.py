@@ -26,9 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import match as M
-from ..ops import se3
 from ..optimize.pose_optimizer import make_pose_optimizer
+from .frame_step import match_and_optimize
 from .frontend import OrbFrontend
 
 
@@ -82,25 +81,14 @@ class BatchFrameStep:
 
     def _one_stream(self, kp_xy, kp_desc_i8, kp_level, kp_valid,
                     T_pred, lm_pos, lm_desc_i8, lm_valid, lm_pred_level):
-        cam = self.cam
-        und = cam.undistort_keypoints(kp_xy)
-        pc = se3.transform(T_pred, lm_pos)
-        uv, depth, vis = cam.project(pc)
-        vis = vis & lm_valid
-        lvl = jnp.clip(lm_pred_level, 0, self.num_levels - 1)
-        radius = 7.0 * self.scale_factors[lvl]
-        idx, dist = M.projection_scale_match(
-            lm_desc_i8, kp_desc_i8, uv, vis, radius, lm_pred_level,
-            und, kp_level, kp_valid,
-            max_dist=M.HAMMING_DIST_THR_HIGH, ratio=0.9, cross_check=True,
+        # shared with FrameStep (models.frame_step.match_and_optimize);
+        # use_pallas=False because the matcher kernel cannot be vmapped
+        return match_and_optimize(
+            self.cam, self.num_levels, self.scale_factors, self.sigma2,
+            self._pose_core, kp_xy, kp_desc_i8, kp_level, kp_valid,
+            T_pred, lm_pos, lm_desc_i8, lm_valid, lm_pred_level,
             use_pallas=False,
         )
-        matched = idx >= 0
-        kpt = jnp.clip(idx, 0)
-        obs_uv = und[kpt]
-        obs_sig = self.sigma2[jnp.clip(kp_level[kpt], 0, self.num_levels - 1)]
-        res = self._pose_core(T_pred, lm_pos, obs_uv, obs_sig, matched)
-        return res.T_cw, res.num_inliers, idx
 
     def _step_impl(self, images_u8, T_pred, lm_pos, lm_desc_i8, lm_valid,
                    lm_pred_level):

@@ -21,6 +21,35 @@ from ..optimize.pose_optimizer import make_pose_optimizer
 from .frontend import OrbFrontend, Keypoints
 
 
+def match_and_optimize(cam, num_levels, scale_factors, sigma2, pose_core,
+                       kp_xy, kp_desc_i8, kp_level, kp_valid,
+                       T_pred, lm_pos, lm_desc_i8, lm_valid, lm_pred_level,
+                       use_pallas=None):
+    """The post-extraction half of the fused step: projection-gated MXU
+    Hamming matching of the local map + the pose-only LM schedule.  Shared
+    by FrameStep (single stream, Pallas kernels) and BatchFrameStep (vmapped
+    over streams, use_pallas=False) so their semantics cannot drift.
+    Returns (T_cw, num_inliers, lm_kpt_idx)."""
+    und = cam.undistort_keypoints(kp_xy)
+    pc = se3.transform(T_pred, lm_pos)
+    uv, depth, vis = cam.project(pc)
+    vis = vis & lm_valid
+    lvl = jnp.clip(lm_pred_level, 0, num_levels - 1)
+    radius = 7.0 * scale_factors[lvl]
+    idx, dist = M.projection_scale_match(
+        lm_desc_i8, kp_desc_i8, uv, vis, radius, lm_pred_level,
+        und, kp_level, kp_valid,
+        max_dist=M.HAMMING_DIST_THR_HIGH, ratio=0.9, cross_check=True,
+        use_pallas=use_pallas,
+    )
+    matched = idx >= 0
+    kpt = jnp.clip(idx, 0)
+    obs_uv = und[kpt]
+    obs_sig = sigma2[jnp.clip(kp_level[kpt], 0, num_levels - 1)]
+    res = pose_core(T_pred, lm_pos, obs_uv, obs_sig, matched)
+    return res.T_cw, res.num_inliers, idx
+
+
 class FrameStepResult(NamedTuple):
     T_cw: jnp.ndarray         # (4,4) optimized pose
     num_inliers: jnp.ndarray  # ()
@@ -70,28 +99,10 @@ class FrameStep:
         return (jnp.asarray(img), T_pred, lm_pos, lm_desc, lm_valid, lm_lvl)
 
     def _step_impl(self, image_u8, T_pred, lm_pos, lm_desc_i8, lm_valid, lm_pred_level):
-        cam = self.cam
         kp: Keypoints = self.frontend._extract_impl(image_u8, None)
-        und = cam.undistort_keypoints(kp.xy)
-
-        # --- projection-gated matching of local-map landmarks ---
-        pc = se3.transform(T_pred, lm_pos)
-        uv, depth, vis = cam.project(pc)
-        vis = vis & lm_valid
-        lvl = jnp.clip(lm_pred_level, 0, self.num_levels - 1)
-        radius = 7.0 * self.scale_factors[lvl]
-        idx, dist = M.projection_scale_match(
-            lm_desc_i8, kp.desc_i8, uv, vis, radius, lm_pred_level,
-            und, kp.level, kp.valid,
-            max_dist=M.HAMMING_DIST_THR_HIGH, ratio=0.9, cross_check=True,
+        T, inl, idx = match_and_optimize(
+            self.cam, self.num_levels, self.scale_factors, self.sigma2,
+            self._pose_core, kp.xy, kp.desc_i8, kp.level, kp.valid,
+            T_pred, lm_pos, lm_desc_i8, lm_valid, lm_pred_level,
         )
-        matched = idx >= 0
-        kpt = jnp.clip(idx, 0)
-
-        # --- pose-only LM over the matched landmark set (shared core; the
-        # core pins its J^T J accumulation to full f32 via ops.precision) ---
-        obs_uv = und[kpt]
-        obs_sig = self.sigma2[jnp.clip(kp.level[kpt], 0, self.num_levels - 1)]
-        res = self._pose_core(T_pred, lm_pos, obs_uv, obs_sig, matched)
-        return FrameStepResult(res.T_cw, res.num_inliers, kp.xy, kp.valid,
-                               idx, kp.desc_u32)
+        return FrameStepResult(T, inl, kp.xy, kp.valid, idx, kp.desc_u32)

@@ -171,9 +171,7 @@ class OrbFrontend:
     def extract_batch(self, images_u8: jnp.ndarray,
                       masks: jnp.ndarray | None = None) -> Keypoints:
         """(B,H,W) u8 -> Keypoints with a leading batch axis."""
-        if masks is None:
-            return self._extract_batch(images_u8, None)
-        return self._extract_batch(images_u8, masks)
+        return self._extract_batch_impl(images_u8, masks)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _extract_batch_impl(self, images_u8, masks):
@@ -223,5 +221,3 @@ class OrbFrontend:
         d8 = jax.vmap(orb.unpack_bits_i8)(d32)
         d8 = jnp.where(valid[:, :, None], d8, 0)
         return Keypoints(xy, resp, lvl, ang, d32, d8, valid)
-
-    _extract_batch = _extract_batch_impl

@@ -51,14 +51,18 @@ _pattern_cache: dict = {}
 
 
 def _load_pattern_np(name: str) -> np.ndarray:
-    path = _PATTERN_ASSETS.get(name)
-    if path is not None and os.path.exists(path):
+    if name not in _PATTERN_ASSETS:
+        raise ValueError(
+            f"unknown descriptor pattern {name!r}; valid: "
+            f"{sorted(_PATTERN_ASSETS)}")
+    path = _PATTERN_ASSETS[name]
+    if os.path.exists(path):
         return np.load(path).astype(np.float32)
     if name == "cv":
         raise FileNotFoundError(
             "assets/orb_pattern_cv.npy missing — run tools/recover_orb_pattern.py"
         )
-    # pragma: no cover - fallback for fresh checkouts
+    # pragma: no cover - fallback for fresh checkouts missing the learned asset
     _pat_rng = np.random.default_rng(0x0B1EF)
     _sigma = (2 * PATCH_RADIUS + 1) / 5.0
     return np.clip(
@@ -239,11 +243,13 @@ def brief_descriptors_patch(
 ) -> jnp.ndarray:
     """Steered BRIEF via per-keypoint patch extraction + in-patch sampling.
 
-    The 512 test samples index into the keypoint's own (31,31) patch with
-    take_along_axis over a flat 961-vector — a batched small-domain gather
-    that the TPU vectorizes far better than scattered image loads.
+    The 512 test samples index into the keypoint's own patch with
+    take_along_axis over a flat vector — a batched small-domain gather
+    that the TPU vectorizes far better than scattered image loads.  The
+    patch radius follows the pattern (bit_pattern_31's rotated points
+    reach |q|~18, beyond the 31x31 window).
     """
-    r = PATCH_RADIUS
+    r = pattern_radius(pattern_name)
     d = 2 * r + 1
     h, w = img_blurred.shape
     patches = extract_patches(img_blurred, xy, r).reshape(xy.shape[0], d * d)

@@ -59,5 +59,11 @@ class StreamParallelStep:
 
     def shard(self, *arrays):
         """Place per-stream-stacked host arrays on the mesh (leading axis =
-        stream)."""
+        stream; must equal the mesh size — the per-device body tracks
+        exactly one stream, so a multiple would silently drop streams)."""
+        for a in arrays:
+            if a.shape[0] != self.n_streams:
+                raise ValueError(
+                    f"leading axis {a.shape[0]} != mesh size "
+                    f"{self.n_streams}: one stream per device")
         return tuple(jax.device_put(a, self._sharding) for a in arrays)

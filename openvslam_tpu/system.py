@@ -609,13 +609,17 @@ class System:
 
     def load_map_database(self, path: str):
         """Load a snapshot; the on-disk schema (native columnar vs the
-        reference's msgpack layout) is sniffed from the file itself."""
-        from .io.msgpack_compat import is_openvslam_format, load_map_openvslam
-        if is_openvslam_format(path):
-            load_map_openvslam(self.map_db, path)
+        reference's msgpack layout) is sniffed from the unpacked blob (the
+        file is read and deserialized exactly once)."""
+        import msgpack
+        from .io.msgpack_compat import sniff_blob, load_map_openvslam
+        with open(path, "rb") as f:
+            blob = msgpack.unpackb(f.read(), raw=False)
+        if sniff_blob(blob):
+            load_map_openvslam(self.map_db, path, blob=blob)
         else:
             from .io.map_database_io import load_map
-            load_map(self.map_db, path)
+            load_map(self.map_db, path, blob=blob)
         if self.global_optimizer is not None:
             # rebuild the BoW inverted index for relocalization/loop queries
             bow = self.global_optimizer.bow_db
