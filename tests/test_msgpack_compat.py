@@ -184,3 +184,68 @@ def test_camera_spec_conversion_all_models():
         assert back["model"] == model
         for k, v in extra.items():
             assert back[k] == pytest.approx(float(v))
+
+
+def test_stereo_columns_roundtrip(tmp_path):
+    """x_rights/depths survive the reference-format roundtrip (stereo maps)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from openvslam_tpu.config import Config
+    from openvslam_tpu.data.map_database import MapDatabase
+    from openvslam_tpu.camera.base import camera_to_config
+    from openvslam_tpu.io.msgpack_compat import (
+        save_map_openvslam, load_map_openvslam)
+
+    cfg = Config.from_dict({
+        "Camera": {"name": "st", "setup": "stereo", "model": "perspective",
+                   "fx": 350.0, "fy": 350.0, "cx": 160.0, "cy": 120.0,
+                   "cols": 320, "rows": 240, "fps": 20,
+                   "focal_x_baseline": 40.0},
+        "Feature": {"max_num_keypts": 64, "num_levels": 2},
+    })
+    K = 64
+    db = MapDatabase(kpt_capacity=K, max_kfs=8, max_lms=64)
+    db.register_camera("st", camera_to_config(cfg.camera), make_default=True)
+    rng = np.random.default_rng(0)
+    kf = db.n_kfs
+    db.n_kfs += 1
+    db.kf_valid[kf] = True
+    db.kf_pose_cw[kf] = np.eye(4, dtype=np.float32)
+    db.kf_timestamp[kf] = 1.25
+    db.kf_src_frame[kf] = 3
+    n = 10
+    val = np.zeros(K, bool); val[:n] = True
+    db.kf_kpt_valid[kf] = val
+    db.kf_xy[kf] = rng.uniform(20, 200, (K, 2)).astype(np.float32)
+    db.kf_xy_undist[kf] = db.kf_xy[kf].copy()
+    db.kf_level[kf] = np.zeros(K, np.int32)
+    db.kf_angle[kf] = rng.uniform(-3, 3, K).astype(np.float32)
+    db.kf_desc_u32[kf] = rng.integers(0, 2**32, (K, 8), dtype=np.uint32)
+    from openvslam_tpu.ops import orb
+    import jax.numpy as jnp
+    db.kf_desc_i8[kf] = np.asarray(orb.unpack_bits_i8(jnp.asarray(db.kf_desc_u32[kf])))
+    xr = np.full(K, -1.0, np.float32); xr[:n] = rng.uniform(10, 150, n)
+    dep = np.full(K, -1.0, np.float32); dep[:n] = rng.uniform(0.5, 20, n)
+    db.kf_x_right[kf] = xr
+    db.kf_depth[kf] = dep
+    db.kf_lm_idx[kf] = np.full(K, -1, np.int32)
+    db.kf_camera[kf] = "st"
+    db.kf_bearing[kf] = np.zeros((K, 3), np.float32)
+    db.covis[kf] = {}; db.covis_ordered[kf] = np.zeros(0, np.int32)
+    db.children[kf] = set(); db.loop_edges[kf] = set()
+    db.parent[kf] = -1
+    db.origin_kf = kf
+
+    path = str(tmp_path / "stereo.msg")
+    save_map_openvslam(db, cfg, path)
+    db2 = MapDatabase(kpt_capacity=K, max_kfs=8, max_lms=64)
+    cam_j, orb_j = load_map_openvslam(db2, path)
+    assert db2.n_kfs == 1
+    v2 = db2.kf_kpt_valid[0].astype(bool)
+    assert v2.sum() == n
+    np.testing.assert_allclose(db2.kf_x_right[0][:n], xr[:n], rtol=1e-6)
+    np.testing.assert_allclose(db2.kf_depth[0][:n], dep[:n], rtol=1e-6)
+    np.testing.assert_array_equal(db2.kf_desc_u32[0][:n], db.kf_desc_u32[kf][:n])
+    cj = next(iter(cam_j.values()))
+    assert cj["setup_type"] == "Stereo"
+    assert cj["focal_x_baseline"] == pytest.approx(40.0)
