@@ -21,6 +21,7 @@ the per-observation-intrinsics residual (optimize.residuals multicam edge).
 """
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -32,6 +33,8 @@ from ..optimize import residuals as R
 from ..optimize.ba import BAProblem
 from .distributed_ba import make_distributed_ba, partition_problem
 from .mesh import make_mesh
+
+log = logging.getLogger(__name__)
 
 
 class MultiSessionRunner:
@@ -51,6 +54,7 @@ class MultiSessionRunner:
         self.n_shards = n_shards or mesh.devices.size
         self._ba_cache: Dict[tuple, object] = {}
         self.joint_ba_runs = 0
+        self.failed: List[int] = []    # sessions dropped by run() on error
 
     # ------------------------------------------------------------------
     def startup(self):
@@ -95,6 +99,7 @@ class MultiSessionRunner:
             feeds = [s.feed_frame for s in self.systems]
             iters = [iter(f) for f in frame_iters]
         live = [True] * len(self.systems)
+        self.failed = []
         while any(live):
             for i in range(len(self.systems)):
                 if not live[i]:
@@ -106,6 +111,17 @@ class MultiSessionRunner:
                         pose = feeds[i](*next(iters[i]))
                 except StopIteration:
                     live[i] = False
+                    continue
+                except Exception:
+                    # session dropout (SURVEY.md §5.3): a dying session must
+                    # not take the fleet down — drop it, keep the surviving
+                    # sessions tracking and the pooled BA running.  Its map
+                    # stays in the pool as-is (resumable later from an
+                    # autosave snapshot via elastic recovery).
+                    log.exception("session %d failed; continuing with the "
+                                  "surviving sessions", i)
+                    live[i] = False
+                    self.failed.append(i)
                     continue
                 tracked[i].append(pose is not None)
                 total += 1

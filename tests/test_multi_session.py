@@ -245,3 +245,43 @@ def test_stereo_multi_session_pooled_ba():
     s0.global_optimizer.run_global_ba(iters=6)
     for k in s0.map_db.valid_kf_ids():
         assert np.isfinite(s0.map_db.kf_pose_cw[int(k)]).all()
+
+
+def test_session_dropout_survival(small_sessions=None):
+    """SURVEY §5.3: a session that dies mid-stream is dropped; the
+    surviving sessions keep tracking and the pooled BA still runs."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_tracking_e2e import _make_config
+    from openvslam_tpu.system import System
+    from openvslam_tpu.parallel.multi_session import MultiSessionRunner
+    from openvslam_tpu.utils import synthetic
+
+    cfg = _make_config()
+    cam = cfg.camera
+    rng = np.random.default_rng(5)
+    scene = synthetic.PlaneSceneRenderer(
+        rng, x_range=(-5, 8), y_range=(-5, 5), plane_z=7.0,
+        rows=cam.rows, cols=cam.cols)
+    xs = np.linspace(0.0, 2.5, 14)
+    poses = np.stack([synthetic.lookat_pose_cw((x, 0, 0), (x, 0, 7)) for x in xs])
+
+    def frames_ok():
+        for i in range(len(poses)):
+            yield (scene.render(cam, poses[i]), i / 20.0)
+
+    def frames_dying():
+        for i in range(len(poses)):
+            if i == 6:
+                raise RuntimeError("injected session fault")
+            yield (scene.render(cam, poses[i]), i / 20.0)
+
+    systems = [System(cfg, vocab_path="default") for _ in range(2)]
+    runner = MultiSessionRunner(systems)
+    tracked = runner.run([frames_ok(), frames_dying()], joint_ba_every=0)
+    runner.joint_bundle_adjust(iters=4)
+    runner.shutdown()
+    assert runner.failed == [1]
+    assert len(tracked[0]) == len(poses)          # survivor ran to the end
+    assert sum(tracked[0]) >= len(poses) - 3
+    assert len(tracked[1]) == 6                   # died at frame 6
