@@ -103,16 +103,22 @@ class OrbFrontend:
         impl = orb.brief_impl_name()
         img = image_u8.astype(jnp.float32)
         levels = pyramid.build_pyramid(img, self.num_levels, self.scale_factor)
+        lvl_masks = None
+        if mask is not None:
+            lvl_masks = [
+                jax.image.resize(mask, lvl_img.shape, method="nearest")
+                for lvl_img in levels
+            ]
+        # all-levels detection: grouped FAST launches + one cross-level
+        # batched top-k (bit-exact vs the per-level loop; ops.fast.detect_levels)
+        dets = fast.detect_levels(
+            levels, self.ini_fast_thr, self.min_fast_thr, self.budgets,
+            cell=self.cell, masks=lvl_masks,
+        )
         xs, rs, ls, ans, descs, vs = [], [], [], [], [], []
         patches, fxs, fys = [], [], []
         for l, (lvl_img, budget) in enumerate(zip(levels, self.budgets)):
-            lvl_mask = None
-            if mask is not None:
-                lvl_mask = jax.image.resize(mask, lvl_img.shape, method="nearest")
-            xy, resp, valid = fast.detect_level(
-                lvl_img, self.ini_fast_thr, self.min_fast_thr, budget,
-                cell=self.cell, mask=lvl_mask,
-            )
+            xy, resp, valid = dets[l]
             blurred = pyramid.gaussian_blur(lvl_img)
             if impl == "mxu2":
                 # batched-levels path: only the zero-gather (budget, 31, 31)

@@ -147,19 +147,25 @@ def detect_level(
     return select_from_scores(s_hi, s_lo, max_pts, cell=cell, mask=mask)
 
 
-def select_from_scores(
+_BONUS = 1e4  # additive preference for hi-threshold corners (see below)
+
+
+def _cell_candidates(
     s_hi: jnp.ndarray,
     s_lo: jnp.ndarray,
     max_pts: int,
-    cell: int = 32,
-    mask: jnp.ndarray | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Two-threshold preference + NMS + grid top-k from precomputed score
-    maps (the post-detection half of detect_level; vmap-able over a leading
-    batch axis for the multi-stream frontend)."""
+    cell: int,
+    mask: jnp.ndarray | None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Per-cell candidate pool (the pre-top_k half of select_from_scores).
+
+    Two-threshold preference + NMS + per-cell top-k cap.  Returns
+    (vals (V,) f32 >= 0, idxs (V,) i32 into the padded (gh,gw,cell,cell)
+    layout, gw) with V = num_cells * k_cell.
+    """
     # prefer hi-threshold corners: they get a large additive bonus, lo-only
     # corners survive where no hi response exists (the reference's fallback).
-    bonus = jnp.float32(1e4)
+    bonus = jnp.float32(_BONUS)
     score = jnp.where(s_hi > 0, s_hi + bonus, s_lo)
     score = nms3x3(score)
     if mask is not None:
@@ -175,24 +181,164 @@ def select_from_scores(
     cv, ci = topk_small(cells, k_cell)                    # (C, k_cell)
     cell_ids = jax.lax.broadcasted_iota(jnp.int32, cv.shape, 0)
     flat_idx = cell_ids * (cell * cell) + ci              # index into padded layout
-    vals = cv.reshape(-1)
-    idxs = flat_idx.reshape(-1)
-    topv, topi = jax.lax.top_k(vals, max_pts)
-    sel = idxs[topi]
-    cy = sel // (cell * cell * gw)
-    rem = sel % (cell * cell * gw)
-    # careful: layout is (gh, gw, cell, cell) flattened as cells dim0=gh*gw
+    return cv.reshape(-1), flat_idx.reshape(-1), gw
+
+
+def _finalize_selection(topv: jnp.ndarray, sel: jnp.ndarray, gw: int, cell: int):
+    """Decode top-k winners back to (xy, resp, valid) (the post-top_k half)."""
+    # layout is (gh, gw, cell, cell) flattened as cells dim0=gh*gw
     cell_id = sel // (cell * cell)
     in_cell = sel % (cell * cell)
     gy, gx = cell_id // gw, cell_id % gw
     oy, ox = in_cell // cell, in_cell % cell
     y = gy * cell + oy
     x = gx * cell + ox
-    del cy, rem
     valid = topv > 0
+    bonus = jnp.float32(_BONUS)
     resp = jnp.where(topv > bonus * 0.5, topv - bonus, topv)
     xy = jnp.stack([x, y], -1).astype(jnp.float32)
     return xy, resp, valid
+
+
+def select_from_scores(
+    s_hi: jnp.ndarray,
+    s_lo: jnp.ndarray,
+    max_pts: int,
+    cell: int = 32,
+    mask: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-threshold preference + NMS + grid top-k from precomputed score
+    maps (the post-detection half of detect_level; vmap-able over a leading
+    batch axis for the multi-stream frontend)."""
+    vals, idxs, gw = _cell_candidates(s_hi, s_lo, max_pts, cell, mask)
+    topv, topi = jax.lax.top_k(vals, max_pts)
+    sel = idxs[topi]
+    return _finalize_selection(topv, sel, gw, cell)
+
+
+def select_from_scores_multi(
+    score_pairs,
+    budgets,
+    cell: int = 32,
+    masks=None,
+):
+    """Cross-level selection: per-level candidate pools, then ONE batched
+    ``lax.top_k`` over all levels instead of one sort custom call per level
+    (8 small sorts were a measurable slice of the fused step's misc time).
+
+    Per-level results are bit-identical to ``select_from_scores``: pools are
+    padded to a common length with -inf (all real candidate values are
+    >= 0, so pads can never displace one), stacked (L, Vmax), sorted once,
+    and each level keeps its first ``budget`` winners — the same prefix the
+    per-level sort returns, tie order included (pads sit at the tail).
+
+    score_pairs: list of (s_hi, s_lo); budgets: list of int;
+    masks: optional list of per-level masks (None entries allowed).
+    Returns a list of (xy, resp, valid).
+    """
+    if masks is None:
+        masks = [None] * len(score_pairs)
+    vals_l, idxs_l, gws = [], [], []
+    for (s_hi, s_lo), budget, mask in zip(score_pairs, budgets, masks):
+        v, i, gw = _cell_candidates(s_hi, s_lo, budget, cell, mask)
+        vals_l.append(v)
+        idxs_l.append(i)
+        gws.append(gw)
+    vmax = max(v.shape[0] for v in vals_l)
+    kmax = max(budgets)
+    vals = jnp.stack([
+        jnp.pad(v, (0, vmax - v.shape[0]), constant_values=-jnp.inf)
+        for v in vals_l
+    ])
+    idxs = jnp.stack([jnp.pad(i, (0, vmax - i.shape[0])) for i in idxs_l])
+    topv, topi = jax.lax.top_k(vals, kmax)               # ONE (L, Vmax) sort
+    sel = jnp.take_along_axis(idxs, topi, axis=1)
+    out = []
+    for l, budget in enumerate(budgets):
+        out.append(
+            _finalize_selection(topv[l, :budget], sel[l, :budget], gws[l], cell)
+        )
+    return out
+
+
+def _zero_border(s: jnp.ndarray, w_true: int, b: int = _BORDER) -> jnp.ndarray:
+    """Zero a b-px frame of an (h, w_true) score map."""
+    h = s.shape[0]
+    yy = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    inside = (yy >= b) & (yy < h - b) & (xx >= b) & (xx < w_true - b)
+    return jnp.where(inside, s, 0.0)
+
+
+def detect_levels(
+    level_imgs,
+    ini_threshold: float,
+    min_threshold: float,
+    budgets,
+    cell: int = 32,
+    masks=None,
+):
+    """All-pyramid detection: per-level ``detect_level`` semantics with the
+    cross-level launch structure a TPU wants.
+
+    Two fusions over the naive 8x per-level loop (both bit-exact; validated
+    in tests/test_pallas_fast.py / test_frontend.py):
+
+    * **Grouped Pallas launches.** Levels whose lane-padded widths match are
+      row-stacked (8-row aligned, like the multi-stream batch path) into one
+      canvas per width class, so a 640x480/8-level pyramid runs 4 FAST
+      kernel launches instead of 8 — identical padded-pixel work, fewer
+      dispatches.  Seam safety: a score at level row r reads rows r+-3 and
+      every level's 3-px border frame is re-zeroed after slicing, so no
+      surviving score ever read a neighboring level's pixels (same argument
+      as ``_score_maps_hi_lo_batch``).
+    * **One batched top-k.** Per-level candidate pools go through a single
+      (L, Vmax) ``lax.top_k`` instead of L small sort custom calls
+      (``select_from_scores_multi``).
+
+    Returns a list of (xy, resp, valid) per level.
+    """
+    n = len(level_imgs)
+    if masks is None:
+        masks = [None] * n
+    if _use_pallas():
+        from .pallas.fast_kernel import fast_score_maps_pallas
+
+        # group consecutive levels by lane-padded width (pyramid widths
+        # decrease monotonically, so equal padded widths are contiguous)
+        pad_w = [((im.shape[1] + 127) // 128) * 128 for im in level_imgs]
+        groups = []          # list of lists of level indices
+        for l in range(n):
+            if groups and pad_w[l] == pad_w[groups[-1][0]]:
+                groups[-1].append(l)
+            else:
+                groups.append([l])
+        score_pairs = [None] * n
+        for g in groups:
+            wc = pad_w[g[0]]
+            hps = [((level_imgs[l].shape[0] + 7) // 8) * 8 for l in g]
+            canvas = jnp.concatenate([
+                jnp.pad(level_imgs[l],
+                        ((0, hp - level_imgs[l].shape[0]),
+                         (0, wc - level_imgs[l].shape[1])))
+                for l, hp in zip(g, hps)
+            ], axis=0)
+            s_hi, s_lo = fast_score_maps_pallas(
+                canvas, float(ini_threshold), float(min_threshold))
+            off = 0
+            for l, hp in zip(g, hps):
+                h, w = level_imgs[l].shape
+                score_pairs[l] = (
+                    _zero_border(s_hi[off:off + h, :w], w),
+                    _zero_border(s_lo[off:off + h, :w], w),
+                )
+                off += hp
+    else:
+        score_pairs = [
+            tuple(fast_score_maps(im, [ini_threshold, min_threshold]))
+            for im in level_imgs
+        ]
+    return select_from_scores_multi(score_pairs, budgets, cell=cell, masks=masks)
 
 
 def _score_maps_hi_lo_batch(imgs: jnp.ndarray, t_hi: float, t_lo: float):
