@@ -17,6 +17,9 @@ from ..optimize import residuals as R2
 from ..optimize.ba import BAProblem, shared_global_ba
 from ..optimize.pose_graph import PoseGraphProblem, make_pose_graph_optimizer
 from .loop_detector import LoopDetector
+from ..utils.log import get_logger
+
+_log = get_logger("global_opt")
 from .relocalizer import Relocalizer
 
 COVIS_GRAPH_EDGE_WEIGHT = 100   # reference: covisibility edges with w>=100
@@ -76,9 +79,13 @@ class GlobalOptimizationModule:
             if out is None:
                 continue
             R, t, s, mk, mc, lms_k, lms_c = out
+            _log.info("loop detected: keyframe %d <-> %d (scale %.3f); "
+                      "correcting", kf, cand, float(s))
             self.correct_loop(kf, cand, (R, t, s), lms_k, lms_c)
             self.last_loop_kf = kf
             self.num_loops_closed += 1
+            _log.info("loop %d closed (pose graph + global BA dispatched)",
+                      self.num_loops_closed)
             return
 
     # ------------------------------------------------------------------
@@ -266,6 +273,9 @@ class GlobalOptimizationModule:
         built = self._build_global_ba(iters)
         if built is None:
             return
+        _log.info("global BA: %d keyframes, %d landmarks, %d iters (%s)",
+                  len(built["cam_index"]), len(built["lm_index"]), iters,
+                  "async" if self.async_global_ba else "sync")
         if not self.async_global_ba:
             res = built["ba"](built["prob"])
             self._apply_global_ba(res, built)
@@ -280,6 +290,7 @@ class GlobalOptimizationModule:
             with lock:
                 if self.abort_global_ba:
                     self.abort_global_ba = False
+                    _log.info("global BA aborted; result discarded")
                     return
                 self._apply_global_ba(res, built)
                 self.db.version += 1

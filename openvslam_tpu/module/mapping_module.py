@@ -14,6 +14,10 @@ from typing import List, Tuple
 import numpy as np
 import jax.numpy as jnp
 
+from ..utils.log import get_logger
+
+_log = get_logger("mapping")
+
 from ..models import tracking_ops as TO
 from ..optimize.ba import BAProblem, shared_local_ba
 
@@ -92,6 +96,7 @@ class MappingModule:
         when one is set (async mode); the BA solve releases it."""
         import contextlib
         lock = self.map_lock if self.map_lock is not None else contextlib.nullcontext()
+        n_lm0 = len(self.db.valid_lm_ids())
         with lock:
             self.remove_redundant_landmarks(kf)
             self.create_new_landmarks(kf)
@@ -100,6 +105,10 @@ class MappingModule:
             self._run_local_ba(kf)      # takes/releases the lock internally
         with lock:
             self.remove_redundant_keyframes(kf)
+            _log.debug(
+                "keyframe %d processed: landmarks %d -> %d, local BA %s",
+                kf, n_lm0, len(self.db.valid_lm_ids()),
+                "ran" if run_ba else "skipped (backlog)")
             if self.global_optimizer is not None:
                 self.global_optimizer.queue_keyframe(kf)
 

@@ -23,6 +23,9 @@ from ..models import tracking_ops as TO
 from ..ops import match as M
 from ..optimize.pose_optimizer import make_pose_optimizer
 from ..camera.base import SetupType
+from ..utils.log import get_logger
+
+_log = get_logger("tracking")
 
 
 class TrackerState(enum.Enum):
@@ -133,6 +136,8 @@ class TrackingModule:
         self.ref_kf = kf2
         self.last_kf_frame_id = f2.frame_id
         self.state = TrackerState.TRACKING
+        _log.info("initialized map: two-view bootstrap frames %d/%d, "
+                  "%d landmarks", f1.frame_id, f2.frame_id, int(good.sum()))
         self.velocity = np.eye(4, dtype=np.float32)
         self._pose_hist.clear()
         self._record_pose(f2)
@@ -167,6 +172,8 @@ class TrackingModule:
         self.ref_kf = kf
         self.last_kf_frame_id = frame.frame_id
         self.state = TrackerState.TRACKING
+        _log.info("initialized map: depth bootstrap frame %d, %d landmarks",
+                  frame.frame_id, int(has_depth.sum()))
         self.velocity = np.eye(4, dtype=np.float32)
         self._pose_hist.clear()
         self._record_pose(frame)
@@ -337,11 +344,15 @@ class TrackingModule:
             T_pred = self.last_frame.pose_cw
         if nmatch < 10:
             self.state = TrackerState.LOST
+            _log.info("tracking lost at frame %d: %d matches after all "
+                      "strategies", frame.frame_id, nmatch)
             frame.pose_cw = None
             return None
         T_cur, num_inl = self._pose_optimize(frame, T_pred)
         if num_inl < 10:
             self.state = TrackerState.LOST
+            _log.info("tracking lost at frame %d: %d inliers after pose "
+                      "optimization", frame.frame_id, num_inl)
             frame.pose_cw = None
             return None
         # drop outlier associations before local-map search
@@ -351,6 +362,8 @@ class TrackingModule:
         thr = 20 if self.frames_since_reloc > 30 else 50
         if num_inl < thr:
             self.state = TrackerState.LOST
+            _log.info("tracking lost at frame %d: %d local-map inliers "
+                      "(threshold %d)", frame.frame_id, num_inl, thr)
             frame.pose_cw = None
             return None
         frame.pose_cw = T_cur.astype(np.float32)
@@ -643,6 +656,8 @@ class TrackingModule:
 
     def _insert_keyframe(self, frame: Frame):
         kf = self.mapper.insert_keyframe(frame)
+        _log.debug("keyframe %d inserted at frame %d (%d tracked)",
+                   kf, frame.frame_id, self.num_tracked)
         self.ref_kf = kf
         self.last_kf_frame_id = frame.frame_id
         self._peak_tracked = 0
@@ -661,6 +676,8 @@ class TrackingModule:
             return None
         frame.pose_cw = T_cur.astype(np.float32)
         self.state = TrackerState.TRACKING
+        _log.info("relocalized at frame %d (%d local-map inliers)",
+                  frame.frame_id, num_inl)
         self.velocity = np.eye(4, dtype=np.float32)
         self._pose_hist.clear()
         self._record_pose(frame)

@@ -19,6 +19,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from .camera.base import SetupType
+from .utils.log import get_logger
+
+_log = get_logger("system")
 from .config import Config
 from .data import Frame, MapDatabase
 from .models.frontend import OrbFrontend
@@ -126,6 +129,9 @@ class System:
     # ------------------------------------------------------------------
     def startup(self):
         self._running = True
+        _log.info("system startup (%s, %dx%d, %s mapping)",
+                  self.cam.setup.name.lower(), self.cam.cols, self.cam.rows,
+                  "async" if self._async else "sync")
 
     def shutdown(self):
         if self._async and isinstance(self._tracker_mapper, _AsyncMapperProxy):
@@ -134,13 +140,18 @@ class System:
             self.global_optimizer.join_global_ba(timeout=120)
         self.tracker.close()
         self._running = False
+        _log.info("system shutdown: %d frames, %d keyframes, %d landmarks",
+                  len(self.trajectory), self.map_db.n_kfs,
+                  len(self.map_db.valid_lm_ids()))
 
     def enable_mapping_module(self):
+        _log.info("mapping module enabled")
         self.mapping_enabled = True
         self.tracker.mapper = self._tracker_mapper
 
     def disable_mapping_module(self):
         """Localization mode: map frozen, tracker-only (ref §3.5)."""
+        _log.info("mapping module disabled (localization mode)")
         self.mapping_enabled = False
         self.tracker.mapper = None
 
@@ -178,6 +189,7 @@ class System:
         return self.global_optimizer.loop_BA_is_running()
 
     def request_reset(self):
+        _log.info("map reset requested")
         self.map_db = MapDatabase(kpt_capacity=self.frontend.capacity)
         from .camera.base import camera_to_config
         self.camera_name = self.map_db.register_camera(
@@ -600,6 +612,7 @@ class System:
         """Snapshot the map.  format: "native" (columnar openvslam_tpu/1)
         or "openvslam" (the reference's msgpack schema — interoperable with
         maps the reference reads/writes)."""
+        _log.info("saving map database to %s (%s format)", path, format)
         if format == "openvslam":
             from .io.msgpack_compat import save_map_openvslam
             save_map_openvslam(self.map_db, self.cfg, path)
@@ -615,6 +628,8 @@ class System:
         from .io.msgpack_compat import sniff_blob, load_map_openvslam
         with open(path, "rb") as f:
             blob = msgpack.unpackb(f.read(), raw=False)
+        _log.info("loading map database from %s (%s schema)", path,
+                  "openvslam msgpack" if sniff_blob(blob) else "native columnar")
         if sniff_blob(blob):
             load_map_openvslam(self.map_db, path, blob=blob)
         else:
