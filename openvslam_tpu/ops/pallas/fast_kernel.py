@@ -15,7 +15,6 @@ backend): DMA slices must be 8-row aligned, so bands carry PAD=8 halo rows
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -103,7 +102,7 @@ def fast_score_maps_pallas(img: jnp.ndarray, thr_hi: float, thr_lo: float,
     hi, lo = pl.pallas_call(
         kernel,
         grid=(h // TILE_H,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((TILE_H, w), lambda i: (i, 0)),
             pl.BlockSpec((TILE_H, w), lambda i: (i, 0)),
@@ -125,6 +124,3 @@ def fast_score_maps_pallas(img: jnp.ndarray, thr_hi: float, thr_lo: float,
     edge = (row >= HALO) & (row < h0 - HALO)
     return jnp.where(edge, hi, 0.0), jnp.where(edge, lo, 0.0)
 
-
-def use_pallas_fast() -> bool:
-    return os.environ.get("OPENVSLAM_TPU_PALLAS_FAST", "0") == "1"
