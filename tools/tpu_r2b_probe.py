@@ -51,6 +51,22 @@ def main():
         print(f"steady rep {rep}: {dt / n * 1e3:.3f} ms/frame = {n / dt:.1f} fps",
               flush=True)
 
+    # dispatch-overhead A/B: jit call (tracing-cache lookup + pytree flatten
+    # per call) vs the AOT-compiled executable invoked directly
+    compiled = fs.step.lower(*args).compile()
+    out2 = compiled(*args)
+    jax.block_until_ready(out2)
+    np.testing.assert_allclose(np.asarray(out.T_cw), np.asarray(out2.T_cw))
+    for rep in range(2):
+        n = 120
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out2 = compiled(*args)
+        jax.block_until_ready(out2)
+        dt = time.perf_counter() - t0
+        print(f"AOT rep {rep}: {dt / n * 1e3:.3f} ms/frame = {n / dt:.1f} fps",
+              flush=True)
+
     outdir = "/tmp/jaxtrace_r2b"
     with jax.profiler.trace(outdir):
         for _ in range(10):
