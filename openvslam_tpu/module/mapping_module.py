@@ -96,8 +96,8 @@ class MappingModule:
         when one is set (async mode); the BA solve releases it."""
         import contextlib
         lock = self.map_lock if self.map_lock is not None else contextlib.nullcontext()
-        n_lm0 = len(self.db.valid_lm_ids())
         with lock:
+            n_lm0 = len(self.db.valid_lm_ids())
             self.remove_redundant_landmarks(kf)
             self.create_new_landmarks(kf)
             self.fuse_duplicated_landmarks(kf)

@@ -13,16 +13,25 @@ from openvslam_tpu.utils.log import enable_console, get_logger
 def test_namespaced_logger_and_console():
     log = get_logger("x")
     assert log.name == "openvslam_tpu.x"
-    enable_console(debug=True)
     root = logging.getLogger("openvslam_tpu")
-    assert root.level == logging.DEBUG
-    enable_console(debug=True)  # idempotent: no duplicate handlers
-    n_stream = sum(
-        1 for h in root.handlers
-        if isinstance(h, logging.StreamHandler)
-        and not isinstance(h, logging.NullHandler)
-    )
-    assert n_stream == 1
+    prev_level = root.level
+    prev_handlers = list(root.handlers)
+    try:
+        enable_console(debug=True)
+        assert root.level == logging.DEBUG
+        enable_console(debug=True)  # idempotent: no duplicate handlers
+        n_stream = sum(
+            1 for h in root.handlers
+            if isinstance(h, logging.StreamHandler)
+            and not isinstance(h, logging.NullHandler)
+        )
+        assert n_stream == 1
+    finally:
+        # don't leak a DEBUG stream handler into the rest of the session
+        for h in list(root.handlers):
+            if h not in prev_handlers:
+                root.removeHandler(h)
+        root.setLevel(prev_level)
 
 
 def test_slam_events_logged(caplog):
