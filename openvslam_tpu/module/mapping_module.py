@@ -43,10 +43,20 @@ class MappingModule:
         self.recent_lms: List[Tuple[int, int]] = []   # (lm, born_kf)
         self.num_covis_for_triangulation = 10
         self.abort_ba = False
+        # capacity-overflow accounting (SURVEY §7 hard part 1): every silent
+        # truncation is counted and WARN-logged on first occurrence
+        self.overflow: dict = {}
         # optional map lock for the async pipeline: held around db reads and
         # write-backs but RELEASED during the jitted BA solve (the solve works
         # on padded copies) — the reference's mutex discipline, same contract
         self.map_lock = None
+
+    def _count_overflow(self, what: str, n: int):
+        if what not in self.overflow:
+            _log.warning(
+                "capacity overflow: %s dropped %d entries (first hit; "
+                "counted in System.stats()['overflow'])", what, n)
+        self.overflow[what] = self.overflow.get(what, 0) + int(n)
 
     # ------------------------------------------------------------------
     def after_initialization(self, kf1: int, kf2: int):
@@ -73,6 +83,7 @@ class MappingModule:
         queue_keyframe): create the KF record + associate tracked landmarks."""
         db = self.db
         kf = db.add_keyframe(frame)
+        touched = []
         for i in np.where((frame.lm_idx >= 0) & frame.valid & ~frame.outlier)[0]:
             lm = int(frame.lm_idx[i])
             if not db.lm_valid[lm]:
@@ -80,9 +91,9 @@ class MappingModule:
             if kf not in db.lm_obs[lm]:
                 db.add_observation(lm, kf, int(i))
                 db.update_landmark_descriptor(lm)
-                db.update_landmark_geometry(
-                    lm, self.cfg.feature.scale_factor, self.num_levels
-                )
+                touched.append(lm)
+        db.update_landmark_geometry_batch(
+            touched, self.cfg.feature.scale_factor, self.num_levels)
         if self.stereo:
             self._seed_landmarks_from_depth(frame, kf)
         db.update_connections(kf)
@@ -122,6 +133,7 @@ class MappingModule:
             & (db.kf_lm_idx[kf] < 0)
         )
         bz = frame.bearing[:, 2]
+        born = []
         for i in np.where(has)[0]:
             if bz[i] <= 1e-6:
                 continue
@@ -132,10 +144,10 @@ class MappingModule:
                 Xw.astype(np.float32), frame.desc_u32[i], frame.desc_i8[i], kf
             )
             db.add_observation(lm, kf, int(i))
-            db.update_landmark_geometry(
-                lm, self.cfg.feature.scale_factor, self.num_levels
-            )
+            born.append(lm)
             self.recent_lms.append((lm, kf))
+        db.update_landmark_geometry_batch(
+            born, self.cfg.feature.scale_factor, self.num_levels)
 
     # ------------------------------------------------------------------
     # landmark culling (ref module/local_map_cleaner)
@@ -216,6 +228,7 @@ class MappingModule:
         idx_all = np.asarray(idx_all)
         X_all = np.asarray(X_all)
         ok_all = np.asarray(ok_all)
+        born = []
         for b, nb in enumerate(usable):
             for j in np.where(ok_all[b] & (idx_all[b] >= 0))[0]:
                 i1, i2 = int(j), int(idx_all[b][j])
@@ -231,11 +244,11 @@ class MappingModule:
                 db.add_observation(lm, kf, i1)
                 db.add_observation(lm, nb, i2)
                 db.update_landmark_descriptor(lm)
-                db.update_landmark_geometry(
-                    lm, self.cfg.feature.scale_factor, self.num_levels
-                )
+                born.append(lm)
                 self.recent_lms.append((lm, kf))
                 unmatched1[i1] = False
+        db.update_landmark_geometry_batch(
+            born, self.cfg.feature.scale_factor, self.num_levels)
         db.update_connections(kf)
 
     def _median_scene_depth(self, kf: int) -> float:
@@ -346,23 +359,23 @@ class MappingModule:
         local = [kf] + db.get_top_covisible(kf, self.C - 1)
         local = [k for k in local if db.kf_valid[k]]
         local_set = set(local)
-        # landmarks of local KFs
-        lm_set = {}
-        for k in local:
-            arr = db.kf_lm_idx[k]
-            for lm in arr[arr >= 0]:
-                lm = int(lm)
-                if db.lm_valid[lm]:
-                    lm_set[lm] = True
-        lm_ids = list(lm_set.keys())[: self.L]
-        # fixed KFs: other observers of those landmarks
-        fixed = []
-        fixed_seen = set(local_set)
-        for lm in lm_ids:
-            for k in db.lm_obs[lm]:
-                if k not in fixed_seen and db.kf_valid[k]:
-                    fixed.append(k)
-                    fixed_seen.add(k)
+        # landmarks of local KFs: one vectorized pass over their lm columns
+        cat = np.concatenate([db.kf_lm_idx[k] for k in local])
+        cat = cat[cat >= 0]
+        lm_all = np.unique(cat)
+        lm_all = lm_all[db.lm_valid[lm_all]]
+        if len(lm_all) > self.L:
+            self._count_overflow("ba_lms", len(lm_all) - self.L)
+        lm_ids = [int(l) for l in lm_all[: self.L]]
+        # fixed KFs: other observers of those landmarks, via the flat table
+        lm_lookup = np.full(db.n_lms, -1, np.int32)
+        lm_lookup[lm_ids] = np.arange(len(lm_ids), dtype=np.int32)
+        t_lm, t_kf, t_kpt, t_u, t_v, t_xr, t_lvl = db.observation_rows()
+        ol_all = lm_lookup[np.clip(t_lm, 0, db.n_lms - 1)]
+        sel = (t_lm >= 0) & (ol_all >= 0)
+        observers = np.unique(t_kf[sel])
+        fixed = [int(k) for k in observers
+                 if k not in local_set and db.kf_valid[k]]
         # cap total cameras at C: prefer all local, then fixed by recency
         n_local = len(local)
         max_fixed = self.C - n_local
@@ -411,26 +424,33 @@ class MappingModule:
         ouv = np.zeros((O, D), np.float32)
         osg = np.ones(O, np.float32)
         om = np.zeros(O, bool)
-        obs_refs = []
-        n_obs = 0
-        for lm, li in lm_index.items():
-            for k, kpt in db.lm_obs[lm].items():
-                ci = cam_index.get(k)
-                if ci is None or n_obs >= O:
-                    continue
-                oc[n_obs] = ci
-                ol[n_obs] = li
-                ouv[n_obs, :2] = db.kf_xy_undist[k][kpt]
-                if multicam:
-                    ouv[n_obs, 2:] = camv_by_kf[k]
-                elif self.stereo:
-                    ouv[n_obs, 2] = db.kf_x_right[k][kpt]
-                osg[n_obs] = self.sigma2[db.kf_level[k][kpt]]
-                om[n_obs] = True
-                obs_refs.append((lm, k, kpt))
-                n_obs += 1
+        # observation packing: gather rows of the flat table whose landmark
+        # AND keyframe are both in the window (no per-observation Python)
+        cam_lookup = np.full(db.n_kfs, -1, np.int32)
+        cam_lookup[cams] = np.arange(len(cams), dtype=np.int32)
+        oc_all = cam_lookup[np.clip(t_kf, 0, db.n_kfs - 1)]
+        rows = np.where(sel & (oc_all >= 0))[0]
+        if len(rows) > O:
+            self._count_overflow("ba_obs", len(rows) - O)
+            rows = rows[:O]
+        n_obs = len(rows)
         if n_obs < 10:
             return None
+        oc[:n_obs] = oc_all[rows]
+        ol[:n_obs] = ol_all[rows]
+        ouv[:n_obs, 0] = t_u[rows]
+        ouv[:n_obs, 1] = t_v[rows]
+        if multicam:
+            camv_arr = np.zeros((self.C, R2.CAMV_DIM), np.float32)
+            for k, i in cam_index.items():
+                camv_arr[i] = camv_by_kf[k]
+            ouv[:n_obs, 2:] = camv_arr[oc[:n_obs]]
+        elif self.stereo:
+            ouv[:n_obs, 2] = t_xr[rows]
+        osg[:n_obs] = self.sigma2[np.clip(t_lvl[rows], 0,
+                                          self.num_levels - 1)]
+        om[:n_obs] = True
+        obs_refs = (t_lm[rows].copy(), t_kf[rows].copy())
         prob = BAProblem(
             jnp.asarray(T), jnp.asarray(cam_opt), jnp.asarray(cam_valid),
             jnp.asarray(X), jnp.asarray(lm_valid),
@@ -452,44 +472,52 @@ class MappingModule:
         for lm, i in lm_index.items():
             if db.lm_valid[lm]:
                 db.lm_pos[lm] = X_new[i]
-        # remove outlier observations
-        for j in range(n_obs):
-            if not inl[j]:
-                lm, k, kpt = obs_refs[j]
-                db.erase_observation(lm, k)
-        for lm in lm_ids:
-            if db.lm_valid[lm]:
-                db.update_landmark_geometry(
-                    lm, self.cfg.feature.scale_factor, self.num_levels
-                )
+        # remove outlier observations (obs_refs: parallel (lm, kf) arrays)
+        ref_lm, ref_kf = obs_refs
+        for j in np.where(~inl[:n_obs])[0]:
+            db.erase_observation(int(ref_lm[j]), int(ref_kf[j]))
+        db.update_landmark_geometry_batch(
+            lm_ids, self.cfg.feature.scale_factor, self.num_levels)
 
     # ------------------------------------------------------------------
     # keyframe culling (ref remove_redundant_keyframes: 90% rule)
     # ------------------------------------------------------------------
     def remove_redundant_keyframes(self, cur_kf: int):
+        """A keyframe is redundant when >=90% of its landmarks are seen by
+        >=3 other keyframes at the same or finer scale.  Vectorized: one pass
+        over the flat observation table builds a per-landmark histogram of
+        observation levels; each candidate's "seen better elsewhere" counts
+        are then cumulative-histogram lookups (was a triple Python loop)."""
         db = self.db
-        for k in db.get_top_covisible(cur_kf, 30):
-            if k == db.origin_kf or k == cur_kf or not db.kf_valid[k]:
+        cands = [k for k in db.get_top_covisible(cur_kf, 30)
+                 if k != db.origin_kf and k != cur_kf and db.kf_valid[k]]
+        if not cands:
+            return
+        NLV = max(self.num_levels + 2, 2)
+        hist = None
+        for k in cands:
+            if not db.kf_valid[k]:
                 continue
+            if hist is None:
+                t_lm = db.obs_lm[: db.n_obs_rows]
+                t_lvl = np.clip(db.obs_level[: db.n_obs_rows], 0, NLV - 1)
+                live = t_lm >= 0
+                flat = np.bincount(
+                    t_lm[live].astype(np.int64) * NLV + t_lvl[live],
+                    minlength=db.n_lms * NLV)
+                hist = np.cumsum(
+                    flat.reshape(db.n_lms, NLV), axis=1)   # cum over levels
             arr = db.kf_lm_idx[k]
             kpts = np.where(arr >= 0)[0]
             if len(kpts) < 10:
                 continue
-            n_redundant = 0
-            for i in kpts:
-                lm = int(arr[i])
-                if not db.lm_valid[lm]:
-                    continue
-                my_level = int(db.kf_level[k][i])
-                n_better = 0
-                for ok, okpt in db.lm_obs[lm].items():
-                    if ok == k:
-                        continue
-                    if int(db.kf_level[ok][okpt]) <= my_level + 1:
-                        n_better += 1
-                        if n_better >= 3:
-                            break
-                if n_better >= 3:
-                    n_redundant += 1
+            lms = arr[kpts]
+            ok_lm = db.lm_valid[lms]
+            my_level = np.clip(db.kf_level[k][kpts].astype(np.int64) + 1,
+                               0, NLV - 1)
+            # observations at level <= my_level+1 excluding this KF's own
+            n_better = hist[lms, my_level] - 1
+            n_redundant = int(((n_better >= 3) & ok_lm).sum())
             if n_redundant > self.cfg.mapping.redundant_obs_ratio_thr * len(kpts):
                 db.erase_keyframe(k)
+                hist = None          # observations changed: rebuild lazily

@@ -70,6 +70,15 @@ class TrackingModule:
         # maxlen 64 covers depth 31 at negligible cost (System.feed_sequence
         # clamps depth accordingly)
         self._pose_hist: collections.deque = collections.deque(maxlen=64)
+        # capacity-overflow accounting (SURVEY §7 hard part 1)
+        self.overflow: dict = {}
+
+    def _count_overflow(self, what: str, n: int):
+        if what not in self.overflow:
+            _log.warning(
+                "capacity overflow: %s dropped %d entries (first hit; "
+                "counted in System.stats()['overflow'])", what, n)
+        self.overflow[what] = self.overflow.get(what, 0) + int(n)
 
     # ------------------------------------------------------------------
     def track(self, frame: Frame) -> Optional[np.ndarray]:
@@ -118,6 +127,7 @@ class TrackingModule:
         db = self.map_db
         kf1 = db.add_keyframe(f1)
         kf2 = db.add_keyframe(f2)
+        born = []
         for i in np.where(good)[0]:
             i1, i2 = int(res.idx1[i]), int(res.idx2[i])
             lm = db.add_landmark(
@@ -126,11 +136,11 @@ class TrackingModule:
             db.add_observation(lm, kf1, i1)
             db.add_observation(lm, kf2, i2)
             db.update_landmark_descriptor(lm)
-            db.update_landmark_geometry(
-                lm, self.cfg.feature.scale_factor, self.num_levels
-            )
+            born.append(lm)
             f2.lm_idx[i2] = lm
             f1.lm_idx[i1] = lm
+        db.update_landmark_geometry_batch(
+            born, self.cfg.feature.scale_factor, self.num_levels)
         db.update_connections(kf1)
         db.update_connections(kf2)
         self.ref_kf = kf2
@@ -142,6 +152,10 @@ class TrackingModule:
         self._pose_hist.clear()
         self._record_pose(f2)
         self.num_tracked = int(good.sum())
+        # seed the decay rule's peak: without it the first keyframe after
+        # init waits for cond_a (a full fps interval), which on fast forward
+        # motion is long enough for the bootstrap landmarks to leave the FOV
+        self._peak_tracked = self.num_tracked
         if self.mapper is not None:
             self.mapper.after_initialization(kf1, kf2)
         return f2.pose_cw
@@ -156,6 +170,7 @@ class TrackingModule:
         db = self.map_db
         kf = db.add_keyframe(frame)
         bz = frame.bearing[:, 2]
+        born = []
         for i in np.where(has_depth)[0]:
             if bz[i] <= 1e-6:
                 continue
@@ -164,10 +179,10 @@ class TrackingModule:
                 X.astype(np.float32), frame.desc_u32[i], frame.desc_i8[i], kf
             )
             db.add_observation(lm, kf, int(i))
-            db.update_landmark_geometry(
-                lm, self.cfg.feature.scale_factor, self.num_levels
-            )
+            born.append(lm)
             frame.lm_idx[i] = lm
+        db.update_landmark_geometry_batch(
+            born, self.cfg.feature.scale_factor, self.num_levels)
         db.update_connections(kf)
         self.ref_kf = kf
         self.last_kf_frame_id = frame.frame_id
@@ -178,6 +193,7 @@ class TrackingModule:
         self._pose_hist.clear()
         self._record_pose(frame)
         self.num_tracked = int(has_depth.sum())
+        self._peak_tracked = self.num_tracked   # see mono init note
         if self.mapper is not None:
             self.mapper.after_stereo_initialization(kf)
         return frame.pose_cw
@@ -264,6 +280,8 @@ class TrackingModule:
             return self._lm_cache
         local_kfs, local_lms = db.acquire_local_map(seed_lms, max_kfs=60)
         L = self.LOCAL_LM_CAP
+        if len(local_lms) > L:
+            self._count_overflow("local_map_lms", len(local_lms) - L)
         n = min(len(local_lms), L)
         cand = np.asarray(local_lms[:n], np.int64)
         pos = np.zeros((L, 3), np.float32)
@@ -437,6 +455,8 @@ class TrackingModule:
         keep = db.lm_valid[lm_ids]
         ids, lm_ids = ids[keep], lm_ids[keep]
         P = step.prev_capacity
+        if len(lm_ids) > P:
+            self._count_overflow("prev_frame_lms", len(lm_ids) - P)
         n = min(len(lm_ids), P)
         ids, lm_ids = ids[:n], lm_ids[:n]
         prev_pos = np.zeros((P, 3), np.float32)

@@ -175,18 +175,21 @@ class MultiSessionRunner:
                     "obs": [],
                     "origin": db.origin_kf,
                 }
+                # vectorized gather from the flat observation table (rows
+                # whose landmark AND keyframe are both live)
                 sigma2 = s.global_optimizer.sigma2
-                for l in lm_ids:
-                    for k, kpt in db.lm_obs[l].items():
-                        if not db.kf_valid[k]:
-                            continue
-                        xr = -1.0
-                        if all_stereo and db.kf_x_right[k] is not None:
-                            xr = float(db.kf_x_right[k][kpt])
-                        snap["obs"].append((
-                            k, l, db.kf_xy_undist[k][kpt].copy(),
-                            float(sigma2[db.kf_level[k][kpt]]), xr,
-                        ))
+                t_lm, t_kf, t_kpt, t_u, t_v, t_xr, t_lvl = \
+                    db.observation_rows()
+                live = (t_lm >= 0) & db.kf_valid[np.clip(t_kf, 0, None)]
+                rows = np.where(live)[0]
+                snap["obs"] = {
+                    "kf": t_kf[rows].copy(), "lm": t_lm[rows].copy(),
+                    "u": t_u[rows].copy(), "v": t_v[rows].copy(),
+                    "sg": sigma2[np.clip(t_lvl[rows], 0,
+                                         len(sigma2) - 1)].astype(np.float32),
+                    "xr": (t_xr[rows].copy() if all_stereo
+                           else np.full(len(rows), -1.0, np.float32)),
+                }
                 snaps.append(snap)
             spec = camera_to_config(s.cam)
             cam_specs.add(tuple(sorted(
@@ -195,7 +198,7 @@ class MultiSessionRunner:
 
         n_c = sum(len(sn["kf_ids"]) for sn in snaps)
         n_l = sum(len(sn["lm_ids"]) for sn in snaps)
-        n_o = sum(len(sn["obs"]) for sn in snaps)
+        n_o = sum(len(sn["obs"]["kf"]) for sn in snaps)
         if n_c < 3 or n_l < 30 or n_o < 60:
             return None
         multicam = len(cam_specs) > 1
@@ -234,19 +237,30 @@ class MultiSessionRunner:
             for l, i in lm_index.items():
                 X[i] = sn["lm_pos"][l]
                 lm_valid[i] = True
-            for k, l, uv, s2, xr in sn["obs"]:
-                if n_obs >= O:
-                    break
-                oc[n_obs] = cam_index[k]
-                ol[n_obs] = lm_index[l]
-                ouv[n_obs, :2] = uv
-                if multicam:
-                    ouv[n_obs, 2:] = camv
-                elif stereo:
-                    ouv[n_obs, 2] = xr
-                osg[n_obs] = s2
-                om[n_obs] = True
-                n_obs += 1
+            ob = sn["obs"]
+            db = sn["sys"].map_db
+            cam_lookup = np.full(db.n_kfs, -1, np.int32)
+            for k, i in cam_index.items():
+                cam_lookup[k] = i
+            lm_lookup = np.full(db.n_lms, -1, np.int32)
+            for l, i in lm_index.items():
+                lm_lookup[l] = i
+            oc_s = cam_lookup[np.clip(ob["kf"], 0, db.n_kfs - 1)]
+            ol_s = lm_lookup[np.clip(ob["lm"], 0, db.n_lms - 1)]
+            sel = np.where((oc_s >= 0) & (ol_s >= 0))[0][: O - n_obs]
+            m = len(sel)
+            sl = slice(n_obs, n_obs + m)
+            oc[sl] = oc_s[sel]
+            ol[sl] = ol_s[sel]
+            ouv[sl, 0] = ob["u"][sel]
+            ouv[sl, 1] = ob["v"][sel]
+            if multicam:
+                ouv[sl, 2:] = camv
+            elif stereo:
+                ouv[sl, 2] = ob["xr"][sel]
+            osg[sl] = ob["sg"][sel]
+            om[sl] = True
+            n_obs += m
             per_session.append({
                 "sys": sn["sys"], "cam_index": cam_index, "lm_index": lm_index,
             })

@@ -275,7 +275,7 @@ class System:
         """Rectified stereo pair -> pose (ref system::feed_stereo_frame).
         Runs the frontend on both images and row-matches descriptors to get
         per-keypoint disparity/depth."""
-        from .ops.stereo import stereo_match
+        from .ops.stereo import stereo_match_dense
 
         l_img = self._to_gray(left)
         r_img = self._to_gray(right)
@@ -293,10 +293,9 @@ class System:
             self._fused_frames += 1
         else:
             kp_l = self.frontend.extract(jnp.asarray(l_img), mask_j)
-            kp_r = self.frontend.extract(jnp.asarray(r_img))
-            xr, depth = stereo_match(
-                kp_l.desc_i8, kp_l.xy, kp_l.valid, kp_l.level,
-                kp_r.desc_i8, kp_r.xy, kp_r.valid, kp_r.level,
+            xr, depth = stereo_match_dense(
+                jnp.asarray(l_img), jnp.asarray(r_img),
+                kp_l.xy, kp_l.valid,
                 jnp.float32(self.cam.focal_x_baseline),
             )
             frame = Frame.from_keypoints(
@@ -597,6 +596,10 @@ class System:
             "median_track_ms": float(np.median(tt) * 1000),
             "fps": float(1.0 / max(np.median(tt), 1e-9)),
             "fused_frames": self._fused_frames,
+            # capacity-overflow accounting: entries silently dropped at any
+            # fixed-capacity boundary (local map cap, BA windows) — nonzero
+            # values mean the caps need raising for this sequence
+            "overflow": {**self.tracker.overflow, **self.mapper.overflow},
         }
 
     def tracked_poses(self):
