@@ -137,11 +137,9 @@ class TrackStep:
         x_right = jnp.full((K,), -1.0, jnp.float32)
         depth = jnp.full((K,), -1.0, jnp.float32)
         if self.mode == "stereo":
-            from ..ops.stereo import stereo_match
-            kp_r = self.frontend._extract_impl(aux, None)
-            x_right, depth = stereo_match(
-                kp.desc_i8, kp.xy, kp.valid, kp.level,
-                kp_r.desc_i8, kp_r.xy, kp_r.valid, kp_r.level,
+            from ..ops.stereo import stereo_match_dense
+            x_right, depth = stereo_match_dense(
+                image_u8, aux, kp.xy, kp.valid,
                 jnp.float32(cam.focal_x_baseline),
             )
         elif self.mode == "rgbd":

@@ -71,6 +71,43 @@ def random_sim3(rng: np.random.Generator, max_angle=0.5, max_trans=1.0, scale_ra
     return T[:3, :3], T[:3, 3], s
 
 
+def noise_texture(rng: np.random.Generator, th: int, tw: int,
+                  octaves=((4, 0.2), (16, 0.4), (64, 1.0), (128, 0.6)),
+                  dots=True) -> np.ndarray:
+    """Multi-octave value-noise texture with FAST-friendly structure,
+    float32 in [20, 245].  Shared by every renderer below."""
+    tex = np.zeros((th, tw))
+    for octave, amp in octaves:
+        gh = max(2, octave * th // max(th, tw))
+        gw = max(2, octave)
+        coarse = rng.random((gh, gw))
+        yi = np.linspace(0, gh - 1, th)
+        xi = np.linspace(0, gw - 1, tw)
+        y0 = np.floor(yi).astype(int)
+        x0 = np.floor(xi).astype(int)
+        y1 = np.minimum(y0 + 1, gh - 1)
+        x1 = np.minimum(x0 + 1, gw - 1)
+        fy = (yi - y0)[:, None]
+        fx = (xi - x0)[None, :]
+        interp = (
+            coarse[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+            + coarse[np.ix_(y0, x1)] * (1 - fy) * fx
+            + coarse[np.ix_(y1, x0)] * fy * (1 - fx)
+            + coarse[np.ix_(y1, x1)] * fy * fx
+        )
+        tex += amp * interp
+    if dots:
+        # salt-and-pepper corners (aliases under resampling; disable for
+        # viewing-angle-heavy sequences)
+        n_dots = tw * th // 300
+        ys = rng.integers(1, th - 1, n_dots)
+        xs = rng.integers(1, tw - 1, n_dots)
+        tex[ys, xs] += rng.uniform(-1.5, 1.5, n_dots)
+    tex -= tex.min()
+    tex /= max(tex.max(), 1e-9)
+    return (20 + tex * 225).astype(np.float32)
+
+
 class PlaneSceneRenderer:
     """Textured-plane scene: a large multi-octave noise texture on the world
     plane z = plane_z, rendered by per-pixel ray casting (pure numpy).
@@ -93,37 +130,7 @@ class PlaneSceneRenderer:
         self.cols = cols
         tw = int((self.x1 - self.x0) * res)
         th = int((self.y1 - self.y0) * res)
-        # multi-octave value noise for FAST-friendly structure
-        tex = np.zeros((th, tw))
-        for octave, amp in octaves:
-            gh = max(2, octave * th // max(th, tw))
-            gw = max(2, octave)
-            coarse = rng.random((gh, gw))
-            yi = np.linspace(0, gh - 1, th)
-            xi = np.linspace(0, gw - 1, tw)
-            y0 = np.floor(yi).astype(int)
-            x0 = np.floor(xi).astype(int)
-            y1 = np.minimum(y0 + 1, gh - 1)
-            x1 = np.minimum(x0 + 1, gw - 1)
-            fy = (yi - y0)[:, None]
-            fx = (xi - x0)[None, :]
-            interp = (
-                coarse[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
-                + coarse[np.ix_(y0, x1)] * (1 - fy) * fx
-                + coarse[np.ix_(y1, x0)] * fy * (1 - fx)
-                + coarse[np.ix_(y1, x1)] * fy * fx
-            )
-            tex += amp * interp
-        if dots:
-            # salt-and-pepper corners (aliases under resampling; disable for
-            # viewing-angle-heavy sequences)
-            n_dots = tw * th // 300
-            ys = rng.integers(1, th - 1, n_dots)
-            xs = rng.integers(1, tw - 1, n_dots)
-            tex[ys, xs] += rng.uniform(-1.5, 1.5, n_dots)
-        tex -= tex.min()
-        tex /= max(tex.max(), 1e-9)
-        self.texture = (20 + tex * 225).astype(np.float32)
+        self.texture = noise_texture(rng, th, tw, octaves, dots)
 
     def render(self, cam, T_cw: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
@@ -227,6 +234,250 @@ class RoomSceneRenderer:
             out = np.where(ok, val, out)
             best_lam = np.where(ok, lam, best_lam)
         return out.reshape(self.rows, self.cols).astype(np.uint8)
+
+
+class RoundedRectCourse:
+    """Closed centerline of a rounded-rectangle street circuit in the
+    (x, z) ground plane — the KITTI-00 analog topology: long straights,
+    gentle 90-degree corners, and an exact return to the start.
+
+    Parameterized by arclength ``s`` in [0, length).  ``point(s)`` and
+    ``tangent(s)`` are vectorized over arrays of s.
+    """
+
+    def __init__(self, straight_x: float = 220.0, straight_z: float = 220.0,
+                 corner_r: float = 20.0):
+        self.sx = float(straight_x)
+        self.sz = float(straight_z)
+        self.r = float(corner_r)
+        arc = np.pi / 2 * self.r
+        # pieces: +x straight, corner, +z straight, corner, -x straight,
+        # corner, -z straight, corner (counter-clockwise seen from +y)
+        self.piece_len = np.array(
+            [self.sx, arc, self.sz, arc, self.sx, arc, self.sz, arc])
+        self.cum = np.concatenate([[0.0], np.cumsum(self.piece_len)])
+        self.length = float(self.cum[-1])
+        hx, hz, r = self.sx / 2, self.sz / 2, self.r
+        # piece start points / directions for the straights; corner centers
+        self.p0 = np.array([
+            [-hx, -hz - r], [hx, -hz - r], [hx + r, -hz], [hx + r, hz],
+            [hx, hz + r], [-hx, hz + r], [-hx - r, hz], [-hx - r, -hz],
+        ])
+        self.dirs = np.array([
+            [1, 0], [0, 0], [0, 1], [0, 0],
+            [-1, 0], [0, 0], [0, -1], [0, 0],
+        ], float)
+        self.corner_c = np.array([
+            [hx, -hz], [hx, hz], [-hx, hz], [-hx, -hz]])
+        # corner k spans start angle a0 -> a0 + pi/2 (angle measured from
+        # corner center, in the (x, z) plane)
+        self.corner_a0 = np.array([-np.pi / 2, 0.0, np.pi / 2, np.pi])
+
+    def _locate(self, s):
+        s = np.mod(np.asarray(s, float), self.length)
+        piece = np.searchsorted(self.cum, s, side="right") - 1
+        piece = np.clip(piece, 0, 7)
+        local = s - self.cum[piece]
+        return piece, local
+
+    def point(self, s) -> np.ndarray:
+        """(…, 2) (x, z) positions on the centerline."""
+        piece, local = self._locate(s)
+        out = np.zeros(piece.shape + (2,))
+        straight = piece % 2 == 0
+        out[straight] = (self.p0[piece[straight]]
+                         + local[straight, None] * self.dirs[piece[straight]])
+        crn = ~straight
+        k = piece[crn] // 2
+        ang = self.corner_a0[k] + local[crn] / self.r
+        out[crn] = self.corner_c[k] + self.r * np.stack(
+            [np.cos(ang), np.sin(ang)], -1)
+        return out
+
+    def tangent(self, s) -> np.ndarray:
+        """(…, 2) unit tangents (direction of travel)."""
+        piece, local = self._locate(s)
+        out = np.zeros(piece.shape + (2,))
+        straight = piece % 2 == 0
+        out[straight] = self.dirs[piece[straight]]
+        crn = ~straight
+        k = piece[crn] // 2
+        ang = self.corner_a0[k] + local[crn] / self.r
+        out[crn] = np.stack([-np.sin(ang), np.cos(ang)], -1)
+        return out
+
+
+class CityCourseRenderer:
+    """Street-canyon scene along a closed course: textured building walls on
+    both sides of the street plus a textured road surface, rendered by
+    per-pixel ray casting against planar quads with distance/backface
+    culling (pure numpy).  This is the KITTI-00-class scene: a multi-hundred-
+    metre circuit whose end revisits its start, exercising long-map growth,
+    place recognition at scale, and loop closure (VERDICT r2 next-#1).
+
+    Quads: (p0, n, u_axis, v_axis, half_u, half_v, texture); vertical wall
+    segments of ~``seg_len`` m tangent to the course boundary offset curves,
+    and road quads spanning the street between them.  Camera convention
+    +y down, so the road is at y = +road_y.
+    """
+
+    def __init__(self, rng: np.random.Generator, course,
+                 street_half_w: float = 4.0, wall_y=(-4.5, 1.5),
+                 road_y: float = 1.5, seg_len: float = 8.0,
+                 res: float = 24.0, max_dist: float = 70.0,
+                 octaves=((4, 0.2), (16, 0.4), (64, 1.0), (128, 0.6)),
+                 dots=True):
+        self.course = course
+        self.max_dist = float(max_dist)
+        n_seg = int(np.ceil(course.length / seg_len))
+        s = np.linspace(0.0, course.length, n_seg + 1)
+        pts = course.point(s)                      # (n+1, 2) centerline
+        tans = course.tangent(s)
+        # left normal (in the ground plane): rotate tangent +90deg
+        nrm = np.stack([-tans[:, 1], tans[:, 0]], -1)
+        left = pts + street_half_w * nrm
+        right = pts - street_half_w * nrm
+        y0, y1 = wall_y
+        wall_h = y1 - y0
+        quads = []        # (p0, n, u_axis, v_axis, hu, hv, tex)
+
+        def _wall(a2, b2, inward2):
+            mid = (a2 + b2) / 2
+            seg = b2 - a2
+            ln = np.linalg.norm(seg)
+            if ln < 1e-6:
+                return
+            u2 = seg / ln
+            p0 = np.array([mid[0], (y0 + y1) / 2, mid[1]])
+            u_axis = np.array([u2[0], 0.0, u2[1]])
+            v_axis = np.array([0.0, 1.0, 0.0])
+            n3 = np.array([inward2[0], 0.0, inward2[1]])
+            tex = noise_texture(
+                rng, max(8, int(wall_h * res)), max(8, int(ln * res)),
+                octaves, dots)
+            quads.append((p0, n3, u_axis, v_axis, ln / 2, wall_h / 2, tex))
+
+        for i in range(n_seg):
+            inward = -nrm[i]                 # from left wall toward street
+            _wall(left[i], left[i + 1], inward)
+            _wall(right[i], right[i + 1], -inward)
+            # road quad between the walls for this stretch
+            mid = (pts[i] + pts[i + 1]) / 2
+            seg = pts[i + 1] - pts[i]
+            ln = np.linalg.norm(seg)
+            if ln < 1e-6:
+                continue
+            u2 = seg / ln
+            p0 = np.array([mid[0], road_y, mid[1]])
+            u_axis = np.array([u2[0], 0.0, u2[1]])
+            v_axis = np.array([nrm[i][0], 0.0, nrm[i][1]])
+            n3 = np.array([0.0, -1.0, 0.0])   # toward the camera (+y down)
+            tex = noise_texture(
+                rng, max(8, int(2 * street_half_w * res)),
+                max(8, int(ln * res)), octaves, dots)
+            quads.append((p0, n3, u_axis, v_axis, ln / 2, street_half_w, tex))
+
+        self.quad_p0 = np.stack([q[0] for q in quads]).astype(np.float32)
+        self.quad_n = np.stack([q[1] for q in quads]).astype(np.float32)
+        self.quad_u = np.stack([q[2] for q in quads]).astype(np.float32)
+        self.quad_v = np.stack([q[3] for q in quads]).astype(np.float32)
+        self.quad_hu = np.array([q[4] for q in quads], np.float32)
+        self.quad_hv = np.array([q[5] for q in quads], np.float32)
+        self.textures = [q[6] for q in quads]
+        # pack textures into one padded atlas so the vectorized render can
+        # gather each pixel's texel from its winning quad in one pass
+        th_max = max(t.shape[0] for t in self.textures)
+        tw_max = max(t.shape[1] for t in self.textures)
+        self.atlas = np.zeros((len(quads), th_max, tw_max), np.float32)
+        self.tex_h = np.zeros(len(quads), np.int32)
+        self.tex_w = np.zeros(len(quads), np.int32)
+        for i, t in enumerate(self.textures):
+            self.atlas[i, : t.shape[0], : t.shape[1]] = t
+            self.tex_h[i], self.tex_w[i] = t.shape
+        self.res = res
+        self._bearing_cache = {}
+
+    def _bearings(self, cam):
+        key = (cam.rows, cam.cols, id(type(cam)))
+        if key not in self._bearing_cache:
+            import jax.numpy as jnp
+            uu, vv = np.meshgrid(np.arange(cam.cols), np.arange(cam.rows))
+            pix = np.stack([uu.reshape(-1), vv.reshape(-1)], -1).astype(
+                np.float32)
+            self._bearing_cache[key] = np.asarray(
+                cam.keypoints_to_bearings(jnp.asarray(pix)), np.float64)
+        return self._bearing_cache[key]
+
+    def render(self, cam, T_cw: np.ndarray) -> np.ndarray:
+        R = T_cw[:3, :3].astype(np.float32)
+        t = T_cw[:3, 3].astype(np.float32)
+        c = -R.T @ t
+        d = (self._bearings(cam) @ R).astype(np.float32)   # (P,3) world rays
+        # cull: near quads only, facing the camera
+        rel = self.quad_p0 - c[None, :]
+        near = np.einsum("ij,ij->i", rel, rel) < self.max_dist**2
+        facing = np.einsum("ij,ij->i", rel, self.quad_n) < 0
+        idx = np.where(near & facing)[0]
+        P = len(d)
+        if len(idx) == 0:
+            return np.zeros((cam.rows, cam.cols), np.uint8)
+        n = self.quad_n[idx]                     # (V,3)
+        p0 = self.quad_p0[idx]
+        denom = d @ n.T                          # (P,V)
+        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        num = np.einsum("vk,vk->v", p0 - c[None, :], n)   # (V,)
+        lam = num[None, :] / denom               # (P,V)
+        # hit-point texture coords without forming the (P,V,3) intermediate:
+        # tu = (c + lam d - p0)·u = (c-p0)·u + lam (d·u)
+        u_ax, v_ax = self.quad_u[idx], self.quad_v[idx]
+        cu = np.einsum("vk,vk->v", c[None, :] - p0, u_ax)
+        cv = np.einsum("vk,vk->v", c[None, :] - p0, v_ax)
+        tu = cu[None, :] + lam * (d @ u_ax.T)
+        tv = cv[None, :] + lam * (d @ v_ax.T)
+        ok = (
+            (lam > 1e-3)
+            & (np.abs(tu) < self.quad_hu[idx][None, :])
+            & (np.abs(tv) < self.quad_hv[idx][None, :])
+        )
+        lam_ok = np.where(ok, lam, np.inf)
+        w = np.argmin(lam_ok, axis=1)            # (P,) winning visible quad
+        hit = np.isfinite(lam_ok[np.arange(P), w])
+        qw = idx[w]                              # global quad index
+        tu_w = tu[np.arange(P), w]
+        tv_w = tv[np.arange(P), w]
+        px = (tu_w + self.quad_hu[qw]) * self.res
+        py = (tv_w + self.quad_hv[qw]) * self.res
+        x0 = np.clip(np.floor(px).astype(int), 0, self.tex_w[qw] - 2)
+        y0 = np.clip(np.floor(py).astype(int), 0, self.tex_h[qw] - 2)
+        fx = np.clip(px - x0, 0, 1)
+        fy = np.clip(py - y0, 0, 1)
+        at = self.atlas
+        val = (
+            at[qw, y0, x0] * (1 - fx) * (1 - fy)
+            + at[qw, y0, x0 + 1] * fx * (1 - fy)
+            + at[qw, y0 + 1, x0] * (1 - fx) * fy
+            + at[qw, y0 + 1, x0 + 1] * fx * fy
+        )
+        out = np.where(hit, val, 0.0)
+        return out.reshape(cam.rows, cam.cols).astype(np.uint8)
+
+
+def course_trajectory(course, n_frames: int, laps: float = 1.0,
+                      look_ahead: float = 6.0, height: float = 0.0,
+                      start_s: float = 0.0):
+    """Forward-looking drive along a course centerline -> (N, 4, 4) T_cw.
+    The camera sits on the centerline at `height` (camera +y is down, so
+    negative height is above the road) looking at the centerline point
+    `look_ahead` metres further along — the KITTI viewing geometry."""
+    s = start_s + course.length * laps * np.arange(n_frames) / n_frames
+    pts = course.point(s)
+    tgts = course.point(s + look_ahead)
+    out = []
+    for i in range(n_frames):
+        eye = np.array([pts[i, 0], height, pts[i, 1]])
+        target = np.array([tgts[i, 0], height, tgts[i, 1]])
+        out.append(lookat_pose_cw(eye, target))
+    return np.stack(out)
 
 
 def lap_trajectory(n_frames: int, radius=6.0, laps=1.0, start_angle=0.0):

@@ -1,0 +1,204 @@
+"""KITTI-00-class synthetic long-sequence benchmark (VERDICT r2 next-#1).
+
+Drives the FULL System (synchronous mapping ON, loop closure ON) over a
+multi-hundred-metre rendered street circuit that revisits its start, and
+reports the numbers that matter at map scale: tracked fraction, keyframe /
+landmark counts, loops closed, metric SE3 ATE, steady-state frames/s, and
+(optionally) a cProfile of where host time goes.
+
+Frames are rendered once and cached under .cache/ as memmaps keyed by the
+scene parameters, so repeat runs skip the renderer.
+
+Usage:
+  PYTHONPATH= JAX_PLATFORMS=cpu python tools/city_bench.py --frames 600
+  python tools/city_bench.py --frames 4000 --straight 220   # TPU
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASELINE_M = 0.5          # stereo baseline (KITTI-class)
+
+
+def build_scene(args):
+    from openvslam_tpu.utils import synthetic
+    rng = np.random.default_rng(args.seed)
+    course = synthetic.RoundedRectCourse(
+        straight_x=args.straight, straight_z=args.straight,
+        corner_r=args.corner_r)
+    scene = synthetic.CityCourseRenderer(
+        rng, course, street_half_w=args.street_half_w, seg_len=8.0)
+    poses = synthetic.course_trajectory(course, args.frames, laps=args.laps)
+    return course, scene, poses
+
+
+def cache_key(args) -> str:
+    spec = (args.frames, args.straight, args.corner_r, args.street_half_w,
+            args.laps, args.seed, args.rows, args.cols, args.fx, "v1")
+    return hashlib.sha1(repr(spec).encode()).hexdigest()[:16]
+
+
+def render_sequence(args, cam, scene, poses, cache_dir):
+    """-> (left, right) uint8 memmaps of shape (N, rows, cols)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    key = cache_key(args)
+    paths = [os.path.join(cache_dir, f"city_{key}_{s}.npy")
+             for s in ("L", "R")]
+    if all(os.path.exists(p) for p in paths):
+        return [np.load(p, mmap_mode="r") for p in paths]
+    shift = np.eye(4)
+    shift[0, 3] = -BASELINE_M
+    n = len(poses)
+    arrs = [np.lib.format.open_memmap(
+        p + ".tmp", mode="w+", dtype=np.uint8,
+        shape=(n, args.rows, args.cols)) for p in paths]
+    t0 = time.time()
+    for i in range(n):
+        arrs[0][i] = scene.render(cam, poses[i])
+        arrs[1][i] = scene.render(cam, shift @ poses[i])
+        if i % 200 == 0:
+            el = time.time() - t0
+            eta = el / max(i, 1) * (n - i)
+            print(f"  render {i}/{n} ({el:.0f}s, eta {eta:.0f}s)", flush=True)
+    for a, p in zip(arrs, paths):
+        a.flush()
+        del a
+        os.replace(p + ".tmp", p)
+    print(f"  rendered {n} stereo pairs in {time.time() - t0:.0f}s")
+    return [np.load(p, mmap_mode="r") for p in paths]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=600)
+    ap.add_argument("--straight", type=float, default=220.0)
+    ap.add_argument("--corner-r", type=float, default=20.0)
+    ap.add_argument("--street-half-w", type=float, default=4.0)
+    ap.add_argument("--laps", type=float, default=1.06)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--rows", type=int, default=240)
+    ap.add_argument("--cols", type=int, default=320)
+    ap.add_argument("--fx", type=float, default=260.0)
+    ap.add_argument("--max-keypts", type=int, default=500)
+    ap.add_argument("--levels", type=int, default=3)
+    ap.add_argument("--profile", action="store_true",
+                    help="cProfile the feed loop, print top host costs")
+    ap.add_argument("--pipeline-depth", type=int, default=1,
+                    help=">1 uses feed_sequence with this pipeline depth")
+    ap.add_argument("--async-mapping", action="store_true")
+    ap.add_argument("--cache-dir", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache"))
+    ap.add_argument("--out", default=None, help="write the JSON report here")
+    args = ap.parse_args()
+
+    from openvslam_tpu.config import Config
+    from openvslam_tpu.system import System
+    from openvslam_tpu.utils import evaluate
+
+    cfg = Config.from_dict({
+        "Camera": {"name": "city-stereo", "setup": "stereo",
+                   "model": "perspective",
+                   "fx": args.fx, "fy": args.fx,
+                   "cx": args.cols / 2, "cy": args.rows / 2,
+                   "cols": args.cols, "rows": args.rows, "fps": 10,
+                   "focal_x_baseline": args.fx * BASELINE_M,
+                   "depth_threshold": 40.0},
+        "Feature": {"max_num_keypts": args.max_keypts,
+                    "num_levels": args.levels, "scale_factor": 1.2},
+        "LoopDetector": {"enabled": True, "min_continuity": 2},
+    })
+    cam = cfg.camera
+    course, scene, poses_gt = build_scene(args)
+    print(f"course: {course.length:.0f} m, {args.frames} frames x "
+          f"{args.laps:.2f} laps = "
+          f"{course.length * args.laps:.0f} m driven, "
+          f"{course.length * args.laps / args.frames:.2f} m/frame")
+    left, right = render_sequence(args, cam, scene, poses_gt, args.cache_dir)
+
+    s = System(cfg, vocab_path="default", async_mapping=args.async_mapping)
+    s.startup()
+    prof = None
+    if args.profile:
+        import cProfile
+        prof = cProfile.Profile()
+        prof.enable()
+    t0 = time.time()
+    if args.pipeline_depth > 1:
+        items = ((left[i], right[i], i / 10.0) for i in range(args.frames))
+        for _ in s.feed_sequence(items, kind="stereo",
+                                 depth=args.pipeline_depth):
+            pass
+    else:
+        for i in range(args.frames):
+            s.feed_stereo_frame(left[i], right[i], i / 10.0)
+            if i % 200 == 0:
+                st = s.stats()
+                print(f"  frame {i}: state={st['state']} "
+                      f"kfs={st['num_keyframes']} lms={st['num_landmarks']} "
+                      f"loops={st['loops_closed']} "
+                      f"({(time.time() - t0) / max(i, 1) * 1000:.0f} ms/f)",
+                      flush=True)
+    wall = time.time() - t0
+    if prof is not None:
+        prof.disable()
+    s.shutdown()
+
+    st = s.stats()
+    ts, poses_est, mask = s.tracked_poses()
+    ate_frames = float("nan")
+    if mask.sum() > 10:
+        e = np.stack([-p[:3, :3].T @ p[:3, 3]
+                      for p in poses_est[mask]])
+        g = np.stack([-poses_gt[i][:3, :3].T @ poses_gt[i][:3, 3]
+                      for i in np.where(mask)[0]])
+        ate_frames = float(evaluate.ate_rmse(e, g, align="se3"))
+    db = s.map_db
+    ids = db.valid_kf_ids()
+    ek = np.stack([-db.kf_pose_cw[k][:3, :3].T @ db.kf_pose_cw[k][:3, 3]
+                   for k in ids])
+    gk = np.stack([-poses_gt[f][:3, :3].T @ poses_gt[f][:3, 3]
+                   for f in db.kf_src_frame[ids]])
+    ate_kf = float(evaluate.ate_rmse(ek, gk, align="se3"))
+
+    tt = np.array(s.track_times)
+    report = {
+        "frames": args.frames,
+        "course_m": round(course.length * args.laps, 1),
+        "tracked_frac": round(float(mask.mean()), 4),
+        "keyframes": st["num_keyframes"],
+        "landmarks": st["num_landmarks"],
+        "loops_closed": st["loops_closed"],
+        "ate_se3_frames_m": round(ate_frames, 3),
+        "ate_se3_keyframes_m": round(ate_kf, 3),
+        "wall_s": round(wall, 1),
+        "system_fps": round(args.frames / wall, 1),
+        "median_track_ms": round(float(np.median(tt) * 1000), 2),
+        "p90_track_ms": round(float(np.percentile(tt, 90) * 1000), 2),
+        "max_track_ms": round(float(tt.max() * 1000), 1),
+        "overflow": getattr(s.tracker, "overflow_stats", lambda: {})()
+        if hasattr(s.tracker, "overflow_stats") else {},
+    }
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+    if prof is not None:
+        import pstats
+        ps = pstats.Stats(prof)
+        ps.sort_stats("cumulative")
+        print("\n--- host profile (top cumulative) ---")
+        ps.print_stats(30)
+
+
+if __name__ == "__main__":
+    main()
