@@ -283,7 +283,7 @@ def extract_patches_onehot(img_blurred: jnp.ndarray, xy: jnp.ndarray,
 
     TPU gathers run at ~15M scalar loads/s — direct per-pixel patch gathers
     cost ~35 ms/frame; a vmapped dynamic_slice is also scalarized (measured
-    +0.7 ms, tools/tpu_measure7.py).  The one-hot contraction formulation is
+    +0.7 ms, docs/kernels.md (measured-trajectory history; probe: tools/tpu_probe.py)).  The one-hot contraction formulation is
     the fast path.  Returns (patches (N,d,d) f32, fx (N,), fy (N,)) with
     fx/fy the fractional offsets from the clamped patch centre.
     """
@@ -335,7 +335,7 @@ def _binned_tables(num_bins: int, pattern_name: str = "learned"):
     64 bins (5.6 deg).  With the bins fixed, the (512,) sample positions per
     bin are compile-time constants, so the per-keypoint one-hot CONSTRUCTION
     (32M compares/frame, 0.65 ms — the describe-stage floor, measured in
-    tools/tpu_measure10.py) becomes a row gather of constant tables.
+    docs/kernels.md (measured-trajectory history; probe: tools/tpu_probe.py)) becomes a row gather of constant tables.
     Returns (oh_y (B,512,d), oh_x (B,512,d)) bfloat16.
     """
     key = (num_bins, pattern_name)
@@ -429,7 +429,7 @@ def describe_patches(patches: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
     frontend's "mxu2" mode calls this ONCE over all pyramid levels'
     concatenated patches — the per-level formulation dispatches ~15 small
     ops x8 levels whose launch latency dominates (measured 1.86 ms of the
-    1.91 ms extraction, tools/tpu_measure6.py).
+    1.91 ms extraction, docs/kernels.md (measured-trajectory history; probe: tools/tpu_probe.py)).
     Returns (desc_u32 (N,8), angles (N,)).
     """
     d = patches.shape[1]
@@ -476,7 +476,7 @@ def describe_patches(patches: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
 # default: mxu on TPU, gather on CPU (native gathers are fast there, one-hot
 # matmuls are not).  mxu2 batches the describe stage across pyramid levels —
 # measured NEUTRAL-to-slightly-slower than per-level mxu on v5e (2.00 vs
-# 1.87 ms extract, tools/tpu_measure8.py): the describe stage is
+# 1.87 ms extract, docs/kernels.md (measured-trajectory history; probe: tools/tpu_probe.py)): the describe stage is
 # throughput-bound on its one-hot intermediates, not launch-latency-bound,
 # so batching the 8 levels buys nothing.  Kept selectable for other
 # backends/shapes.

@@ -4,7 +4,7 @@ The XLA formulation (ops/match.py + ops/match.projection_gate) materializes
 several (L, K) intermediates in HBM per match — the Hamming matrix, the
 projection/scale gates, the masked distance, and the top-k/argmin inputs —
 ~10 full passes over 16 MB at L=4096, K=1024 (measured 1.12 ms of the
-4.2 ms fused tracking step, tools/tpu_measure3.py).
+4.2 ms fused tracking step, docs/kernels.md (measured-trajectory history; probe: tools/tpu_probe.py)).
 
 This kernel tiles the landmark rows over a 1-D grid and keeps the ENTIRE
 distance matrix in VMEM: each program computes one (TILE_L, K) int8 MXU

@@ -3,8 +3,8 @@
 The XLA pose optimizer (optimize/pose_optimizer.py) is latency-bound: each
 of the 40 LM iterations chains ~10 small XLA ops whose launch cost dominates
 — the 6x6 LU solve custom call alone is ~29 us of each ~38 us iteration
-(tools/tpu_measure6.py), so the schedule floors at ~1.5 ms regardless of how
-many evaluation passes are fused (tools/tpu_measure12.py).  Inside ONE
+(docs/kernels.md (measured-trajectory history; probe: tools/tpu_probe.py)), so the schedule floors at ~1.5 ms regardless of how
+many evaluation passes are fused (docs/kernels.md (measured-trajectory history; probe: tools/tpu_probe.py)).  Inside ONE
 Pallas kernel there are no per-op launches: residuals/Jacobians are analytic
 (1,N)-row vector math, the normal equations are a single (8,3N)x(3N,8) MXU
 contraction, the damped 6x6 solve is an unrolled scalar Cholesky on the

@@ -27,7 +27,7 @@ class PoseOptResult(NamedTuple):
 
 def _use_pallas_poselm() -> bool:
     """Fused whole-schedule Pallas LM on accelerators (2.1-2.3x vs the XLA
-    loop, identical inlier decisions — tools/tpu_measure13.py); XLA
+    loop, identical inlier decisions — docs/kernels.md (measured-trajectory history; probe: tools/tpu_probe.py)); XLA
     elsewhere.  Opt out with OPENVSLAM_TPU_PALLAS_POSELM=0."""
     import os
 
@@ -145,7 +145,7 @@ def _make_pose_optimizer(cam, stereo: bool = False, num_rounds: int = 4,
                 H = G[:6, :6]
                 grad = G[:6, 6]
                 # NB: keep the LU custom call — a closed-form 3x3 block-Schur
-                # solve was measured 2.4x SLOWER (tools/tpu_measure7.py): its
+                # solve was measured 2.4x SLOWER (docs/kernels.md (measured-trajectory history; probe: tools/tpu_probe.py)): its
                 # ~25 tiny VPU ops cost more launch latency than one fused
                 # custom call.
                 Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)

@@ -4,7 +4,7 @@ The kernel must reproduce ops.match.match_descriptors over
 projection_gate & scale_gate bit-for-bit (same tie-breaking as
 top_k/argmin), for every acceptance-flag combination and for shapes that
 need padding.  Runs in interpreter mode on CPU; the compiled-kernel
-equivalence on the real backend is checked by tools/tpu_measure4.py.
+equivalence on the real backend is checked by docs/kernels.md (measured-trajectory history; probe: tools/tpu_probe.py).
 """
 import numpy as np
 import pytest

@@ -4,7 +4,7 @@ Three layers: (1) the analytic-Jacobian XLA schedule (the kernel body run
 as plain jnp) must agree with make_pose_optimizer (same LM decisions, pose
 to float tolerance); (2) the Pallas kernel in interpreter mode must equal
 the analytic XLA schedule; (3) compiled-kernel equivalence on the real
-backend is checked by tools/tpu_measure13.py.
+backend is checked by docs/kernels.md (measured-trajectory history; probe: tools/tpu_probe.py).
 """
 import numpy as np
 import jax.numpy as jnp
