@@ -2,6 +2,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from openvslam_tpu.data.bow import Vocabulary, BowDatabase
 from openvslam_tpu.ops import bow as bow_ops
 

@@ -8,6 +8,8 @@ the sharded solve matches a 1-shard solve (shard-count invariance)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from openvslam_tpu.config import Config
 from openvslam_tpu.system import System
 from openvslam_tpu.parallel import MultiSessionRunner, make_mesh

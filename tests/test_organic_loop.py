@@ -8,6 +8,8 @@ keyframe from the live mapping pipeline."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from openvslam_tpu.config import Config
 from openvslam_tpu.system import System
 from openvslam_tpu.utils import synthetic, evaluate

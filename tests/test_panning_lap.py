@@ -7,6 +7,8 @@ decay-based cond_d in TrackingModule._new_keyframe_needed fixes it."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from openvslam_tpu.config import Config
 from openvslam_tpu.system import System
 from openvslam_tpu.utils import synthetic, evaluate

@@ -12,6 +12,8 @@ Complements test_organic_loop (monocular, Sim3-aligned) per SURVEY.md §3.4.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from openvslam_tpu.config import Config
 from openvslam_tpu.system import System
 from openvslam_tpu.utils import synthetic, evaluate
