@@ -397,22 +397,28 @@ class CityCourseRenderer:
         self.res = res
         self._bearing_cache = {}
 
-    def _bearings(self, cam):
-        key = (cam.rows, cam.cols, id(type(cam)))
+    def _bearings(self, cam, ss: int = 1):
+        key = (cam.rows, cam.cols, id(type(cam)), ss)
         if key not in self._bearing_cache:
             import jax.numpy as jnp
-            uu, vv = np.meshgrid(np.arange(cam.cols), np.arange(cam.rows))
+            # ss x ss subpixel sample grid per output pixel (supersampling:
+            # box-filters the texture minification that otherwise aliases
+            # frame to frame and destabilizes descriptors at distance)
+            sub = (np.arange(ss) + 0.5) / ss - 0.5
+            us = (np.arange(cam.cols)[:, None] + sub[None, :]).reshape(-1)
+            vs = (np.arange(cam.rows)[:, None] + sub[None, :]).reshape(-1)
+            uu, vv = np.meshgrid(us, vs)
             pix = np.stack([uu.reshape(-1), vv.reshape(-1)], -1).astype(
                 np.float32)
             self._bearing_cache[key] = np.asarray(
                 cam.keypoints_to_bearings(jnp.asarray(pix)), np.float64)
         return self._bearing_cache[key]
 
-    def render(self, cam, T_cw: np.ndarray) -> np.ndarray:
+    def render(self, cam, T_cw: np.ndarray, ss: int = 1) -> np.ndarray:
         R = T_cw[:3, :3].astype(np.float32)
         t = T_cw[:3, 3].astype(np.float32)
         c = -R.T @ t
-        d = (self._bearings(cam) @ R).astype(np.float32)   # (P,3) world rays
+        d = (self._bearings(cam, ss) @ R).astype(np.float32)  # (P,3) rays
         # cull: near quads only, facing the camera
         rel = self.quad_p0 - c[None, :]
         near = np.einsum("ij,ij->i", rel, rel) < self.max_dist**2
@@ -459,6 +465,8 @@ class CityCourseRenderer:
             + at[qw, y0 + 1, x0 + 1] * fx * fy
         )
         out = np.where(hit, val, 0.0)
+        if ss > 1:
+            out = out.reshape(cam.rows, ss, cam.cols, ss).mean(axis=(1, 3))
         return out.reshape(cam.rows, cam.cols).astype(np.uint8)
 
 

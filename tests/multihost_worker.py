@@ -26,11 +26,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# distributed init MUST precede anything that touches the XLA backend —
+# including importing openvslam_tpu (whose module-level shared caches can
+# trigger backend initialization)
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=nproc, process_id=pid)
+
 import numpy as np
 
 from openvslam_tpu.parallel import multihost
-
-multihost.initialize(f"localhost:{port}", nproc, pid)
 assert jax.device_count() == 4 * nproc, jax.device_count()
 assert jax.local_device_count() == 4
 
