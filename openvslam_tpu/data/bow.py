@@ -138,19 +138,27 @@ class TreeVocabulary:
 
     # ------------------------------------------------------------------
     def save(self, path: str):
-        payload = {"tree_k": np.int64(self.k), "idf": self.idf}
+        """Centers are bit-packed on disk (32 bytes/node vs 256): a 32k-leaf
+        tree stays ~1.5 MB instead of ~10 MB."""
+        payload = {"tree_k": np.int64(self.k), "idf": self.idf,
+                   "packed": np.int64(1)}
         for i, (c, v) in enumerate(zip(self.level_centers, self.level_valid)):
-            payload[f"centers_{i}"] = c
+            payload[f"centers_{i}"] = np.packbits(
+                c.astype(np.uint8), axis=-1, bitorder="little")
             payload[f"valid_{i}"] = v
         np.savez_compressed(path, **payload)
 
     @classmethod
     def _from_npz(cls, z) -> "TreeVocabulary":
         k = int(z["tree_k"])
+        packed = "packed" in z and int(z["packed"])
         centers, valid = [], []
         i = 0
         while f"centers_{i}" in z:
-            centers.append(z[f"centers_{i}"])
+            c = z[f"centers_{i}"]
+            if packed:
+                c = np.unpackbits(c, axis=-1, bitorder="little")[..., :256]
+            centers.append(c.astype(np.int8))
             valid.append(z[f"valid_{i}"])
             i += 1
         return cls(centers, valid, k, z["idf"])
@@ -227,10 +235,13 @@ class TreeVocabulary:
 
 
 def load_vocabulary(path: str):
-    """Load a vocabulary: .npz (flat or tree, native) or an ORB-SLAM-style
-    text vocabulary (``ORBvoc.txt``-format; see load_orbslam_text)."""
+    """Load a vocabulary: .npz (flat or tree, native), an ORB-SLAM-style
+    text vocabulary (``ORBvoc.txt``; load_orbslam_text), or a DBoW2 binary
+    vocabulary (``orb_vocab.dbow2`` / ``ORBvoc.bin``; load_dbow2_binary)."""
     if path.endswith(".txt"):
         return load_orbslam_text(path)
+    if path.endswith(".dbow2") or path.endswith(".bin"):
+        return load_dbow2_binary(path)
     return Vocabulary.load(path)
 
 
@@ -334,6 +345,95 @@ def save_orbslam_text(vocab: "TreeVocabulary", path: str,
                         + " ".join(str(int(v)) for v in byts)
                         + f" {w}\n")
                 ids[(lvl, slot)] = len(ids)
+
+
+# ---------------------------------------------------------------------------
+# DBoW2 binary vocabulary format (the reference ships ``orb_vocab.dbow2``).
+#
+# Layout, per the DBoW2-lineage binary save/load used across the ORB-SLAM
+# ecosystem (the widely-circulated loadFromBinaryFile patch and the forks
+# derived from it): a little-endian stream of
+#
+#   int32 k, int32 L, int32 scoring_type, int32 weighting_type
+#   then one fixed-size record per non-root node, parents before children:
+#     int32  parent_node_id
+#     uint8  is_leaf
+#      32 x uint8 descriptor bytes  (ORB, 256 bits)
+#     float64 weight
+#
+# (45 bytes/node.)  Node ids are implicit, exactly as in the text format.
+# No oracle .dbow2 file is reachable offline, so the layout is additionally
+# covered by a write->read roundtrip and by equivalence with the text
+# format on the same tree (tests/test_orbslam_vocab.py).
+# ---------------------------------------------------------------------------
+
+_DBOW2_NODE = np.dtype([
+    ("parent", "<i4"), ("is_leaf", "u1"), ("desc", "u1", 32),
+    ("weight", "<f8"),
+])
+
+
+def load_dbow2_binary(path: str) -> "TreeVocabulary":
+    with open(path, "rb") as f:
+        head = np.frombuffer(f.read(16), "<i4")
+        k, levels = int(head[0]), int(head[1])
+        nodes = np.frombuffer(f.read(), _DBOW2_NODE)
+    level_centers = [np.zeros((k ** (l + 1), 256), np.int8)
+                     for l in range(levels)]
+    level_valid = [np.zeros(k ** (l + 1), bool) for l in range(levels)]
+    node_level = {0: -1}
+    node_slot = {0: 0}
+    n_children: Dict[int, int] = {0: 0}
+    leaf_weights: List[tuple] = []
+    for i, nd in enumerate(nodes, start=1):
+        pid = int(nd["parent"])
+        lvl = node_level[pid] + 1
+        rank = n_children[pid]
+        assert rank < k, f"node {pid} has more than k={k} children"
+        slot = node_slot[pid] * k + rank
+        n_children[pid] = rank + 1
+        level_centers[lvl][slot] = _desc_bytes_to_bits(nd["desc"])
+        level_valid[lvl][slot] = True
+        node_level[i] = lvl
+        node_slot[i] = slot
+        n_children[i] = 0
+        if nd["is_leaf"]:
+            leaf_weights.append((lvl, slot, float(nd["weight"])))
+    idf = np.ones(k ** levels, np.float32)
+    for lvl, slot, weight in leaf_weights:
+        s_ = slot
+        for l in range(lvl + 1, levels):
+            child = s_ * k
+            level_centers[l][child] = level_centers[l - 1][s_]
+            level_valid[l][child] = True
+            s_ = child
+        idf[s_] = weight
+    return TreeVocabulary(level_centers, level_valid, k, idf)
+
+
+def save_dbow2_binary(vocab: "TreeVocabulary", path: str,
+                      scoring: int = 0, weighting: int = 0):
+    k, levels = vocab.k, vocab.levels
+    records = []
+    ids = {(-1, 0): 0}
+    with open(path, "wb") as f:
+        f.write(np.asarray([k, levels, scoring, weighting], "<i4").tobytes())
+        for lvl in range(levels):
+            for slot in np.nonzero(vocab.level_valid[lvl])[0]:
+                slot = int(slot)
+                parent = (lvl - 1, slot // k) if lvl else (-1, 0)
+                rec = np.zeros((), _DBOW2_NODE)
+                rec["parent"] = ids[parent]
+                is_leaf = (lvl == levels - 1 or not
+                           vocab.level_valid[lvl + 1][slot * k:slot * k + k].any())
+                rec["is_leaf"] = 1 if is_leaf else 0
+                rec["desc"] = _bits_to_desc_bytes(
+                    vocab.level_centers[lvl][slot])
+                rec["weight"] = (float(vocab.idf[slot])
+                                 if lvl == levels - 1 else 0.0)
+                records.append(rec)
+                ids[(lvl, slot)] = len(ids)
+        f.write(np.stack(records).tobytes())
 
 
 _DEFAULT_VOCAB_PATH = os.path.join(

@@ -300,7 +300,7 @@ class TrackingModule:
         }
         return self._lm_cache
 
-    def _track_local_map(self, frame: Frame, T_cur):
+    def _track_local_map(self, frame: Frame, T_cur, radius=None):
         db = self.map_db
         cache = self._refresh_local_map_cache(frame.lm_idx[frame.lm_idx >= 0])
         n = cache["n"]
@@ -313,7 +313,8 @@ class TrackingModule:
         # only unmatched keypoints take part (matched lms are post-filtered)
         kpt_free = frame.valid & (frame.lm_idx < 0)
         n_seeds = int((frame.lm_idx >= 0).sum())
-        radius = 4.0 if n_seeds >= 50 else 9.0
+        if radius is None:
+            radius = 4.0 if n_seeds >= 50 else 9.0
         idx, dist, vis = TO.match_landmarks_by_projection(
             self.cam, jnp.asarray(T_cur, jnp.float32), cache["pos"],
             cache["desc"], cache["valid"],
@@ -342,6 +343,20 @@ class TrackingModule:
         db.lm_n_found[inl_lms] += 1
         return T_new, num_inl
 
+    def _rescue_with_local_map(self, frame: Frame, T_pred):
+        """Wide-radius local-map association at the predicted pose, then
+        pose optimization — recovers frames whose frame-to-frame matching
+        broke while the local map is still valid."""
+        lf = self.last_frame
+        if lf is not None:        # seed the cache from the last good frame
+            self._refresh_local_map_cache(lf.lm_idx[lf.lm_idx >= 0])
+        frame.lm_idx[:] = -1
+        frame.outlier[:] = False
+        T_cur, num_inl = self._track_local_map(frame, T_pred, radius=15.0)
+        if not (frame.lm_idx >= 0).any():
+            return T_pred, 0      # no local map to rescue against
+        return T_cur, num_inl
+
     def _track_frame(self, frame: Frame):
         self._update_last_frame_landmarks()
         T_pred = (self.velocity @ self.last_frame.pose_cw).astype(np.float32)
@@ -360,24 +375,35 @@ class TrackingModule:
             # descriptor match against last frame
             nmatch = self._fallback_match_last_frame(frame)
             T_pred = self.last_frame.pose_cw
-        if nmatch < 10:
-            self.state = TrackerState.LOST
-            _log.info("tracking lost at frame %d: %d matches after all "
-                      "strategies", frame.frame_id, nmatch)
-            frame.pose_cw = None
-            return None
-        T_cur, num_inl = self._pose_optimize(frame, T_pred)
-        if num_inl < 10:
-            self.state = TrackerState.LOST
-            _log.info("tracking lost at frame %d: %d inliers after pose "
-                      "optimization", frame.frame_id, num_inl)
-            frame.pose_cw = None
-            return None
-        # drop outlier associations before local-map search
-        frame.lm_idx[frame.outlier] = -1
-        frame.outlier[:] = False
-        T_cur, num_inl = self._track_local_map(frame, T_cur)
         thr = 20 if self.frames_since_reloc > 30 else 50
+        if nmatch < 10:
+            # frame-to-frame association collapsed while the map may still
+            # be fine (fast motion, appearance flicker): one wide local-map
+            # search at the predicted pose before declaring Lost — cheaper
+            # and far more likely than BoW relocalization mid-sequence
+            T_cur, num_inl = self._rescue_with_local_map(frame, T_pred)
+            if num_inl < thr:
+                self.state = TrackerState.LOST
+                _log.info("tracking lost at frame %d: %d matches after all "
+                          "strategies (+rescue %d inliers)",
+                          frame.frame_id, nmatch, num_inl)
+                frame.pose_cw = None
+                return None
+        else:
+            T_cur, num_inl = self._pose_optimize(frame, T_pred)
+            if num_inl < 10:
+                T_cur, num_inl = self._rescue_with_local_map(frame, T_pred)
+                if num_inl < thr:
+                    self.state = TrackerState.LOST
+                    _log.info("tracking lost at frame %d: %d inliers after "
+                              "pose optimization", frame.frame_id, num_inl)
+                    frame.pose_cw = None
+                    return None
+            else:
+                # drop outlier associations before local-map search
+                frame.lm_idx[frame.outlier] = -1
+                frame.outlier[:] = False
+                T_cur, num_inl = self._track_local_map(frame, T_cur)
         if num_inl < thr:
             self.state = TrackerState.LOST
             _log.info("tracking lost at frame %d: %d local-map inliers "

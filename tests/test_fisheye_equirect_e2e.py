@@ -24,6 +24,10 @@ def _run(cfg, rng, n=22, x_max=3.0):
         p = s.feed_monocular_frame(scene.render(cam, poses[i]), i / 20.0)
         tracked += p is not None
     s.shutdown()
+    # the fused one-dispatch TrackStep must carry non-pinhole models too
+    # (VERDICT r2 next-#7): only init/lost frames may take the classic path
+    assert s._track_step is not None and s._fused_frames > 0.5 * tracked, (
+        s._fused_frames, tracked)
     ts, est_poses, mask = s.tracked_poses()
     idx = np.where(mask)[0]
     est = np.stack([-est_poses[i][:3, :3].T @ est_poses[i][:3, 3] for i in idx])

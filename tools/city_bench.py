@@ -43,7 +43,8 @@ def build_scene(args):
 
 def cache_key(args) -> str:
     spec = (args.frames, args.straight, args.corner_r, args.street_half_w,
-            args.laps, args.seed, args.rows, args.cols, args.fx, "v1")
+            args.laps, args.seed, args.rows, args.cols, args.fx, args.ss,
+            "v2")
     return hashlib.sha1(repr(spec).encode()).hexdigest()[:16]
 
 
@@ -63,8 +64,8 @@ def render_sequence(args, cam, scene, poses, cache_dir):
         shape=(n, args.rows, args.cols)) for p in paths]
     t0 = time.time()
     for i in range(n):
-        arrs[0][i] = scene.render(cam, poses[i])
-        arrs[1][i] = scene.render(cam, shift @ poses[i])
+        arrs[0][i] = scene.render(cam, poses[i], ss=args.ss)
+        arrs[1][i] = scene.render(cam, shift @ poses[i], ss=args.ss)
         if i % 200 == 0:
             el = time.time() - t0
             eta = el / max(i, 1) * (n - i)
@@ -90,6 +91,11 @@ def main():
     ap.add_argument("--fx", type=float, default=260.0)
     ap.add_argument("--max-keypts", type=int, default=500)
     ap.add_argument("--levels", type=int, default=3)
+    ap.add_argument("--ss", type=int, default=2,
+                    help="render supersampling factor (antialiasing)")
+    ap.add_argument("--vocab", default=None,
+                    help="vocabulary path; defaults to the large tree "
+                         "asset when trained, else the built-in default")
     ap.add_argument("--profile", action="store_true",
                     help="cProfile the feed loop, print top host costs")
     ap.add_argument("--pipeline-depth", type=int, default=1,
@@ -125,7 +131,13 @@ def main():
           f"{course.length * args.laps / args.frames:.2f} m/frame")
     left, right = render_sequence(args, cam, scene, poses_gt, args.cache_dir)
 
-    s = System(cfg, vocab_path="default", async_mapping=args.async_mapping)
+    vocab = args.vocab
+    if vocab is None:
+        tree = os.path.join(os.path.dirname(args.cache_dir), "assets",
+                            "vocab_tree_k8L5.npz")
+        vocab = tree if os.path.exists(tree) else "default"
+    print(f"vocabulary: {vocab}")
+    s = System(cfg, vocab_path=vocab, async_mapping=args.async_mapping)
     s.startup()
     prof = None
     if args.profile:
