@@ -482,6 +482,70 @@ def default_vocabulary(num_words: int = 1024, cache_path: Optional[str] = None,
     return vocab
 
 
+class _InvertedIndex:
+    """Append-only word->keyframe postings with a lazily rebuilt CSR view.
+
+    The old representation (a Python set per word) rebuilt the CSR with
+    per-posting Python loops on EVERY query — O(total postings) interpreted
+    work per keyframe insertion, which dominates at 10^3 keyframes x 32k
+    words.  Here postings append in O(words/KF) numpy, removal is a mask,
+    and the CSR (what the native accumulation kernel consumes) is rebuilt
+    by one argsort only when dirty."""
+
+    def __init__(self, num_words: int, cap: int = 1 << 14):
+        self.num_words = num_words
+        self._w = np.zeros(cap, np.int64)
+        self._kf = np.zeros(cap, np.int64)
+        self._alive = np.zeros(cap, bool)
+        self._n = 0
+        self._kf_rows: Dict[int, tuple] = {}
+        self._csr = None
+
+    def add(self, kf: int, words: np.ndarray):
+        m = len(words)
+        while self._n + m > len(self._w):
+            grow = len(self._w)
+            self._w = np.concatenate([self._w, np.zeros(grow, np.int64)])
+            self._kf = np.concatenate([self._kf, np.zeros(grow, np.int64)])
+            self._alive = np.concatenate([self._alive,
+                                          np.zeros(grow, bool)])
+        sl = slice(self._n, self._n + m)
+        self._w[sl] = words
+        self._kf[sl] = kf
+        self._alive[sl] = True
+        self._kf_rows[kf] = (self._n, self._n + m)
+        self._n += m
+        self._csr = None
+
+    def remove(self, kf: int):
+        rows = self._kf_rows.pop(kf, None)
+        if rows is not None:
+            self._alive[rows[0]:rows[1]] = False
+            self._csr = None
+
+    def clear(self):
+        self._alive[: self._n] = False
+        self._n = 0
+        self._kf_rows.clear()
+        self._csr = None
+
+    def word_keyframes(self, w: int) -> np.ndarray:
+        offsets, inv = self.csr()
+        return inv[offsets[w]:offsets[w + 1]]
+
+    def csr(self):
+        """-> (offsets (W+1,) int64, kfs (P,) int64) sorted by word."""
+        if self._csr is None:
+            rows = np.where(self._alive[: self._n])[0]
+            w = self._w[rows]
+            order = np.argsort(w, kind="stable")
+            counts = np.bincount(w, minlength=self.num_words)
+            offsets = np.zeros(self.num_words + 1, np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            self._csr = (offsets, self._kf[rows][order])
+        return self._csr
+
+
 class BowDatabase:
     """Inverted index word -> keyframes + per-KF BoW vectors (host).
 
@@ -493,7 +557,7 @@ class BowDatabase:
     def __init__(self, vocab: Vocabulary, map_db=None):
         self.vocab = vocab
         self.map_db = map_db
-        self.inverted: List[Set[int]] = [set() for _ in range(vocab.num_words)]
+        self.inverted = _InvertedIndex(vocab.num_words)
         self.kf_words: Dict[int, np.ndarray] = {}     # kf -> (K,) word ids
         self.kf_bow: Dict[int, np.ndarray] = {}       # kf -> (W,) tf-idf vec
 
@@ -515,15 +579,13 @@ class BowDatabase:
     def add_keyframe(self, kf: int, words: np.ndarray):
         self.kf_words[kf] = words
         self.kf_bow[kf] = self.bow_vec(words)
-        for w in np.unique(words[words >= 0]):
-            self.inverted[int(w)].add(kf)
+        self.inverted.add(kf, np.unique(words[words >= 0]))
 
     def remove_keyframe(self, kf: int):
         words = self.kf_words.pop(kf, None)
         self.kf_bow.pop(kf, None)
         if words is not None:
-            for w in np.unique(words[words >= 0]):
-                self.inverted[int(w)].discard(kf)
+            self.inverted.remove(kf)
 
     def score(self, a: int, b: int) -> float:
         return float(1.0 - 0.5 * np.abs(self.kf_bow[a] - self.kf_bow[b]).sum())
@@ -534,16 +596,7 @@ class BowDatabase:
     # ------------------------------------------------------------------
     def _shared_word_counts(self, words: np.ndarray, exclude: Set[int]):
         from ..utils import native
-        # CSR view of the inverted index, then native accumulation
-        offsets = np.zeros(self.vocab.num_words + 1, np.int64)
-        for w, s in enumerate(self.inverted):
-            offsets[w + 1] = offsets[w] + len(s)
-        inv = np.empty(offsets[-1], np.int64)
-        pos = 0
-        for s in self.inverted:
-            for kf in s:
-                inv[pos] = kf
-                pos += 1
+        offsets, inv = self.inverted.csr()
         ks, vs = native.bow_shared_words(words, offsets, inv)
         return {int(k): int(v) for k, v in zip(ks, vs) if int(k) not in exclude}
 

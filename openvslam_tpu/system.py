@@ -204,7 +204,7 @@ class System:
             go = self.global_optimizer
             go.db = self.map_db
             go.bow_db.map_db = self.map_db
-            go.bow_db.inverted = [set() for _ in range(go.bow_db.vocab.num_words)]
+            go.bow_db.inverted.clear()
             go.bow_db.kf_words.clear()
             go.bow_db.kf_bow.clear()
             go.loop_detector.db = self.map_db
