@@ -45,9 +45,11 @@ BASELINE_FPS = 30.0
 
 
 def system_bench():
-    """Full System (sync mapping ON) over a rendered mono orbit sequence,
-    pipelined feed at depth 3 (hides the tunnel RTT; a colocated host needs
-    depth 1).  Returns (fps, ate_sim3_m, tracked_frac, n_keyframes)."""
+    """Full System over a rendered mono orbit sequence: mapping ON in its
+    own worker (async — the reference's 3-thread concurrency contract:
+    tracking never blocks on BA), pipelined feed at depth 3 (hides the
+    tunnel RTT; a colocated host needs depth 1).
+    Returns (fps, ate_sim3_m, tracked_frac, n_keyframes)."""
     from openvslam_tpu.config import Config
     from openvslam_tpu.system import System
     from openvslam_tpu.utils import synthetic, evaluate
@@ -72,7 +74,7 @@ def system_bench():
     imgs = [scene.render(cam, gt[i]) for i in range(n)]
 
     warm = 40                       # warmup prefix excluded from the rate
-    s = System(cfg)
+    s = System(cfg, async_mapping=True)
     s.startup()
     out = []
     t_warm = [None]

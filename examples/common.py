@@ -16,7 +16,7 @@ import numpy as np
 def base_parser(desc: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=desc)
     p.add_argument("-v", "--vocab", default="default",
-                   help="vocabulary file (.npz) or 'default' or 'none'")
+                   help="vocabulary file (.npz / ORBvoc.txt / .dbow2) or 'default' or 'none'")
     p.add_argument("-s", "--setting", required=True, help="config YAML")
     p.add_argument("--mask", default=None, help="mask image (png/pgm)")
     p.add_argument("--frame-skip", type=int, default=1)

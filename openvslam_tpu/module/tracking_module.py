@@ -357,6 +357,20 @@ class TrackingModule:
             return T_pred, 0      # no local map to rescue against
         return T_cur, num_inl
 
+    def _rescue_acceptable(self, T_cur, T_pred, num_inl: int) -> bool:
+        """Borderline rescue acceptance: a thin (12+) inlier set counts when
+        the optimized pose agrees with the constant-velocity prediction —
+        the map is sparse at the leading edge, not wrong.  Bounds: the
+        translation residual vs prediction stays under max(1.5x the frame
+        displacement, 0.5), rotation under ~10 degrees."""
+        if num_inl < 12:
+            return False
+        d = np.linalg.inv(T_pred) @ T_cur
+        dt = float(np.linalg.norm(d[:3, 3]))
+        dr = float(np.arccos(np.clip((np.trace(d[:3, :3]) - 1) / 2, -1, 1)))
+        v_t = float(np.linalg.norm(self.velocity[:3, 3]))
+        return dt < max(1.5 * v_t, 0.5) and dr < np.deg2rad(10.0)
+
     def _track_frame(self, frame: Frame):
         self._update_last_frame_landmarks()
         T_pred = (self.velocity @ self.last_frame.pose_cw).astype(np.float32)
@@ -373,16 +387,22 @@ class TrackingModule:
         if nmatch < 20:
             # fallback 2 (ref robust_match_based_track analog): unconstrained
             # descriptor match against last frame
-            nmatch = self._fallback_match_last_frame(frame)
-            T_pred = self.last_frame.pose_cw
+            n2 = self._fallback_match_last_frame(frame)
+            if n2 > nmatch:
+                nmatch = n2
+                T_pred = self.last_frame.pose_cw
         thr = 20 if self.frames_since_reloc > 30 else 50
+        weak_ok = False
+        T_mm_pred = (self.velocity @ self.last_frame.pose_cw).astype(
+            np.float32)
         if nmatch < 10:
             # frame-to-frame association collapsed while the map may still
             # be fine (fast motion, appearance flicker): one wide local-map
             # search at the predicted pose before declaring Lost — cheaper
             # and far more likely than BoW relocalization mid-sequence
-            T_cur, num_inl = self._rescue_with_local_map(frame, T_pred)
-            if num_inl < thr:
+            T_cur, num_inl = self._rescue_with_local_map(frame, T_mm_pred)
+            weak_ok = self._rescue_acceptable(T_cur, T_mm_pred, num_inl)
+            if num_inl < thr and not weak_ok:
                 self.state = TrackerState.LOST
                 _log.info("tracking lost at frame %d: %d matches after all "
                           "strategies (+rescue %d inliers)",
@@ -392,8 +412,9 @@ class TrackingModule:
         else:
             T_cur, num_inl = self._pose_optimize(frame, T_pred)
             if num_inl < 10:
-                T_cur, num_inl = self._rescue_with_local_map(frame, T_pred)
-                if num_inl < thr:
+                T_cur, num_inl = self._rescue_with_local_map(frame, T_mm_pred)
+                weak_ok = self._rescue_acceptable(T_cur, T_mm_pred, num_inl)
+                if num_inl < thr and not weak_ok:
                     self.state = TrackerState.LOST
                     _log.info("tracking lost at frame %d: %d inliers after "
                               "pose optimization", frame.frame_id, num_inl)
@@ -404,7 +425,7 @@ class TrackingModule:
                 frame.lm_idx[frame.outlier] = -1
                 frame.outlier[:] = False
                 T_cur, num_inl = self._track_local_map(frame, T_cur)
-        if num_inl < thr:
+        if num_inl < thr and not weak_ok:
             self.state = TrackerState.LOST
             _log.info("tracking lost at frame %d: %d local-map inliers "
                       "(threshold %d)", frame.frame_id, num_inl, thr)
