@@ -131,7 +131,7 @@ def main():
         eff = results[top] / (base * top) if base else 0.0
         metric = "distributed_ba_scaling_efficiency"
         unit = f"efficiency@{top}shards"
-    print(json.dumps({
+    payload = {
         "metric": metric,
         "value": round(eff, 3),
         "unit": unit,
@@ -140,7 +140,37 @@ def main():
         "note": ("virtual CPU mesh: fixed total compute, so the metric is "
                  "sharding overhead, not speedup" if virtual
                  else "real multi-chip mesh"),
-    }))
+    }
+    if "--multihost" in sys.argv:
+        payload["multihost_2proc_ba_iters_per_s"] = _multihost_iters_per_s()
+    print(json.dumps(payload))
+
+
+def _multihost_iters_per_s():
+    """Launch the 2-process x 4-device multihost BA workers (gloo = the DCN
+    stand-in) and report their cross-host BA iterations/s — the N>=2 hosts
+    measurement recipe of the north star, runnable on this one-chip box."""
+    import socket
+    import subprocess
+    import tempfile
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "tests", "multihost_worker.py")
+    out_js = os.path.join(tempfile.mkdtemp(), "mh.json")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), out_js], env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        for i in range(2)]
+    for p in procs:
+        p.communicate(timeout=600)
+    if all(p.returncode == 0 for p in procs) and os.path.exists(out_js):
+        return round(json.load(open(out_js))["iters_per_s"], 2)
+    return None
 
 
 if __name__ == "__main__":

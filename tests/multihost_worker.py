@@ -54,6 +54,16 @@ assert mesh.devices.size == 4 * nproc
 T, X, cost = solve(prob)
 errs = _pose_errors(T, T_true, n_cams)
 
+# steady-state timing (used by bench_scaling.py --multihost): the second
+# call reuses the compiled program; report BA iterations/s across hosts
+import time
+t0 = time.perf_counter()
+reps = 3
+for _ in range(reps):
+    T, X, cost = solve(prob)
+dt = (time.perf_counter() - t0) / reps
+iters_per_s = 10 / dt
+
 if pid == 0:
     with open(out_path, "w") as f:
         json.dump({
@@ -61,6 +71,8 @@ if pid == 0:
             "max_pose_err": float(errs.max()),
             "global_devices": jax.device_count(),
             "offsets": [int(x) for x in offs],
+            "iters_per_s": iters_per_s,
             "T0": np.asarray(T)[:n_cams].reshape(-1).tolist(),
         }, f)
-print(f"[p{pid}] done cost={cost:.4f} max_err={errs.max():.5f}", flush=True)
+print(f"[p{pid}] done cost={cost:.4f} max_err={errs.max():.5f} "
+      f"({iters_per_s:.2f} BA iters/s)", flush=True)
