@@ -46,6 +46,10 @@ class MappingModule:
         # capacity-overflow accounting (SURVEY §7 hard part 1): every silent
         # truncation is counted and WARN-logged on first occurrence
         self.overflow: dict = {}
+        # observability counters (SURVEY §5.5: BA iterations/s)
+        self.ba_runs = 0
+        self.ba_iters_total = 0
+        self.ba_wall_s = 0.0
         # optional map lock for the async pipeline: held around db reads and
         # write-backs but RELEASED during the jitted BA solve (the solve works
         # on padded copies) — the reference's mutex discipline, same contract
@@ -342,7 +346,12 @@ class MappingModule:
             return
         prob, cam_index, lm_index, cam_opt, obs_refs, n_obs, lm_ids, multicam = built
         solver = self._multicam_local_ba() if multicam else self.local_ba
+        import time as _time
+        _t0 = _time.perf_counter()
         res = solver(prob)                 # jitted solve — outside the lock
+        self.ba_runs += 1
+        self.ba_iters_total += 15          # 5 + 10 LM iterations per run
+        self.ba_wall_s += _time.perf_counter() - _t0
         with lock:
             self._apply_ba_result(res, cam_index, lm_index, cam_opt,
                                   obs_refs, n_obs, lm_ids)

@@ -596,6 +596,10 @@ class System:
             "median_track_ms": float(np.median(tt) * 1000),
             "fps": float(1.0 / max(np.median(tt), 1e-9)),
             "fused_frames": self._fused_frames,
+            "local_ba_runs": self.mapper.ba_runs,
+            "ba_iters_per_s": (
+                self.mapper.ba_iters_total / self.mapper.ba_wall_s
+                if self.mapper.ba_wall_s > 0 else 0.0),
             # capacity-overflow accounting: entries silently dropped at any
             # fixed-capacity boundary (local map cap, BA windows) — nonzero
             # values mean the caps need raising for this sequence
