@@ -110,6 +110,8 @@ def main():
     from openvslam_tpu.config import Config
     from openvslam_tpu.system import System
     from openvslam_tpu.utils import evaluate
+    from openvslam_tpu.utils.log import enable_console
+    enable_console(debug=False)      # INFO: loss/reloc/loop events visible
 
     cfg = Config.from_dict({
         "Camera": {"name": "city-stereo", "setup": "stereo",
