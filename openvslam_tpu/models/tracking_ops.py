@@ -84,10 +84,24 @@ def triangulation_candidates_multi(
     create_new_landmarks loop was ~6 round-trips per covisible neighbor).
 
     Query-side operands are (K,...); neighbor-side carry a leading (B,...)
-    axis (pad with un2s=False rows).  Returns (idx (B,K) matched neighbor
-    kpt per query kpt, X (B,K,3) triangulated world points aligned to query
-    keypoint slots, ok (B,K) acceptance).
+    axis (pad with un2s=False rows).  Neighbor operands may also be TUPLES
+    of B (K,...) arrays — they are stacked INSIDE the program, so
+    device-resident per-keyframe caches (mapping module) reach this call
+    with zero host->device copies and one dispatch.  Returns (idx (B,K)
+    matched neighbor kpt per query kpt, X (B,K,3) triangulated world points
+    aligned to query keypoint slots, ok (B,K) acceptance).
     """
+    if isinstance(desc2s, (tuple, list)):
+        desc2s = jnp.stack(desc2s)
+    if isinstance(brg2s, (tuple, list)):
+        brg2s = jnp.stack(brg2s)
+    if isinstance(ang2s, (tuple, list)):
+        ang2s = jnp.stack(ang2s)
+    if isinstance(und2s, (tuple, list)):
+        und2s = jnp.stack(und2s)
+    if isinstance(sig2s, (tuple, list)):
+        sig2s = jnp.stack(sig2s)
+
     def one(T2, d2, u2, b2, a2, uu2, s2):
         E12 = essential_from_poses(T1, T2)
         idx, dist = match_unmatched_robust(
@@ -151,8 +165,15 @@ def fuse_candidates_multi(
     covisible target (10-20 per keyframe insertion — each an RTT on a
     remote-TPU deployment); this is one dispatch + one download.  Uses the
     XLA matcher composition (vmap over the Pallas matcher's ANY/blocked
-    operands is not supported by Mosaic).
+    operands is not supported by Mosaic).  kpt_desc_i8 / kpt_xy_undist may
+    be tuples of B per-keyframe arrays (stacked in-program; see
+    triangulation_candidates_multi).
     """
+    if isinstance(kpt_desc_i8, (tuple, list)):
+        kpt_desc_i8 = jnp.stack(kpt_desc_i8)
+    if isinstance(kpt_xy_undist, (tuple, list)):
+        kpt_xy_undist = jnp.stack(kpt_xy_undist)
+
     def one(T_cw, desc, und, kvalid, klevel):
         uv, depth, vis = project_landmarks(cam, T_cw, lm_pos, lm_valid)
         lvl = jnp.clip(lm_pred_level, 0, scale_factors.shape[0] - 1)

@@ -50,10 +50,53 @@ class MappingModule:
         self.ba_runs = 0
         self.ba_iters_total = 0
         self.ba_wall_s = 0.0
+        self.lms_culled = 0
+        self.kfs_culled = 0
+        self.lms_created = 0
+        # per-phase wall-clock accumulators for the KF-insertion pipeline
+        self.phase_s: dict = {}
+        self._dev_kf: dict = {}    # kf -> device-resident keypoint columns
         # optional map lock for the async pipeline: held around db reads and
         # write-backs but RELEASED during the jitted BA solve (the solve works
         # on padded copies) — the reference's mutex discipline, same contract
         self.map_lock = None
+
+    def _phase(self, name: str, t0: float) -> float:
+        import time as _time
+        now = _time.perf_counter()
+        self.phase_s[name] = self.phase_s.get(name, 0.0) + (now - t0)
+        return now
+
+    # ------------------------------------------------------------------
+    # device-resident per-keyframe operands.  Keypoint columns (descriptors,
+    # bearings, undistorted coords, angles, per-level sigma2) are immutable
+    # once a keyframe is stored, but triangulation + fusion re-uploaded ~10
+    # neighbors' worth (1-4 MB) through the device link on EVERY keyframe
+    # insertion — measured 200+ ms/KF each on the tunnel.  Upload once at
+    # store time, reuse forever; poses stay host-side (BA moves them).
+    # ------------------------------------------------------------------
+    def _kf_dev(self, kf: int) -> dict:
+        e = self._dev_kf.get(kf)
+        if e is None:
+            db = self.db
+            e = {
+                "desc_i8": jnp.asarray(db.kf_desc_i8[kf]),
+                "bearing": jnp.asarray(db.kf_bearing[kf]),
+                "angle": jnp.asarray(db.kf_angle[kf]),
+                "und": jnp.asarray(db.kf_xy_undist[kf]),
+                "sigma2": jnp.asarray(
+                    self.sigma2[np.clip(db.kf_level[kf], 0,
+                                        self.num_levels - 1)]),
+            }
+            self._dev_kf[kf] = e
+        return e
+
+    def _prune_dev_cache(self):
+        if len(self._dev_kf) <= len(self.db.valid_kf_ids()) + 64:
+            return
+        dead = [k for k in self._dev_kf if not self.db.kf_valid[k]]
+        for k in dead:
+            del self._dev_kf[k]
 
     def _count_overflow(self, what: str, n: int):
         if what not in self.overflow:
@@ -78,7 +121,10 @@ class MappingModule:
 
     def insert_keyframe(self, frame) -> int:
         """Synchronous insertion: store + full mapping pipeline."""
+        import time as _time
+        t0 = _time.perf_counter()
         kf = self.store_keyframe(frame)
+        self._phase("store", t0)
         self.process_keyframe(kf, run_ba=True)
         return kf
 
@@ -101,6 +147,8 @@ class MappingModule:
         if self.stereo:
             self._seed_landmarks_from_depth(frame, kf)
         db.update_connections(kf)
+        self._kf_dev(kf)          # pre-warm the device-resident columns
+        self._prune_dev_cache()
         return kf
 
     def process_keyframe(self, kf: int, run_ba: bool = True):
@@ -110,22 +158,33 @@ class MappingModule:
         when new keyframes are waiting).  Map mutations run under map_lock
         when one is set (async mode); the BA solve releases it."""
         import contextlib
+        import time as _time
         lock = self.map_lock if self.map_lock is not None else contextlib.nullcontext()
         with lock:
             n_lm0 = len(self.db.valid_lm_ids())
+            t = _time.perf_counter()
             self.remove_redundant_landmarks(kf)
+            t = self._phase("cull_lms", t)
             self.create_new_landmarks(kf)
+            t = self._phase("triangulate", t)
             self.fuse_duplicated_landmarks(kf)
+            self._phase("fuse", t)
         if run_ba:
+            t = _time.perf_counter()
             self._run_local_ba(kf)      # takes/releases the lock internally
+            self._phase("local_ba", t)
         with lock:
+            t = _time.perf_counter()
             self.remove_redundant_keyframes(kf)
+            self._phase("cull_kfs", t)
             _log.debug(
                 "keyframe %d processed: landmarks %d -> %d, local BA %s",
                 kf, n_lm0, len(self.db.valid_lm_ids()),
                 "ran" if run_ba else "skipped (backlog)")
             if self.global_optimizer is not None:
+                t = _time.perf_counter()
                 self.global_optimizer.queue_keyframe(kf)
+                self._phase("bow_loop", t)
 
     def _seed_landmarks_from_depth(self, frame, kf: int):
         """Stereo/RGBD keyframes seed landmarks from measured depth for
@@ -150,6 +209,7 @@ class MappingModule:
             db.add_observation(lm, kf, int(i))
             born.append(lm)
             self.recent_lms.append((lm, kf))
+        self.lms_created += len(born)
         db.update_landmark_geometry_batch(
             born, self.cfg.feature.scale_factor, self.num_levels)
 
@@ -166,8 +226,10 @@ class MappingModule:
             age = cur_kf - born
             if ratio < 0.25 and age >= 2:
                 db.erase_landmark(lm)
+                self.lms_culled += 1
             elif age >= 2 and db.lm_num_obs[lm] <= 2:
                 db.erase_landmark(lm)
+                self.lms_culled += 1
             elif age >= 3:
                 pass          # graduated: stop monitoring
             else:
@@ -211,22 +273,25 @@ class MappingModule:
         un2 = np.stack([
             (db.kf_lm_idx[nb] < 0) & db.kf_kpt_valid[nb] for nb in nb_list])
         un2[len(usable):] = False                         # padding neighbors
+        # immutable keypoint columns ride the device-resident cache — only
+        # poses/masks (mutable, small) are uploaded per call
+        d1 = self._kf_dev(kf)
+        dn = [self._kf_dev(nb) for nb in nb_list]
         idx_all, X_all, ok_all = TO.triangulation_candidates_multi(
             self.cam,
             jnp.asarray(T1, jnp.float32),
-            jnp.asarray(db.kf_desc_i8[kf]), jnp.asarray(unmatched1),
-            jnp.asarray(db.kf_bearing[kf]), jnp.asarray(db.kf_angle[kf]),
-            jnp.asarray(db.kf_xy_undist[kf]),
-            jnp.asarray(self.sigma2[db.kf_level[kf]]),
+            d1["desc_i8"], jnp.asarray(unmatched1),
+            d1["bearing"], d1["angle"],
+            d1["und"],
+            d1["sigma2"],
             jnp.asarray(np.stack([db.kf_pose_cw[nb] for nb in nb_list])
                         .astype(np.float32)),
-            jnp.asarray(np.stack([db.kf_desc_i8[nb] for nb in nb_list])),
+            tuple(d["desc_i8"] for d in dn),
             jnp.asarray(un2),
-            jnp.asarray(np.stack([db.kf_bearing[nb] for nb in nb_list])),
-            jnp.asarray(np.stack([db.kf_angle[nb] for nb in nb_list])),
-            jnp.asarray(np.stack([db.kf_xy_undist[nb] for nb in nb_list])),
-            jnp.asarray(np.stack([self.sigma2[db.kf_level[nb]]
-                                  for nb in nb_list])),
+            tuple(d["bearing"] for d in dn),
+            tuple(d["angle"] for d in dn),
+            tuple(d["und"] for d in dn),
+            tuple(d["sigma2"] for d in dn),
             jnp.float32(1e-2),
         )
         idx_all = np.asarray(idx_all)
@@ -251,6 +316,7 @@ class MappingModule:
                 born.append(lm)
                 self.recent_lms.append((lm, kf))
                 unmatched1[i1] = False
+        self.lms_created += len(born)
         db.update_landmark_geometry_batch(
             born, self.cfg.feature.scale_factor, self.num_levels)
         db.update_connections(kf)
@@ -293,15 +359,15 @@ class MappingModule:
         B = max(1, int(self.cfg.mapping.num_covisibilities_for_landmark_fusion))
         nb_list = (targets + [targets[0]] * B)[:B]
         poses = np.stack([db.kf_pose_cw[nb] for nb in nb_list]).astype(np.float32)
-        descs = np.stack([db.kf_desc_i8[nb] for nb in nb_list])
-        unds = np.stack([db.kf_xy_undist[nb] for nb in nb_list])
+        dn = [self._kf_dev(nb) for nb in nb_list]
         kvals = np.stack([db.kf_kpt_valid[nb] for nb in nb_list])
         kvals[len(targets):] = False                      # padding neighbors
         klvls = np.stack([db.kf_level[nb] for nb in nb_list])
         idx_all = np.asarray(TO.fuse_candidates_multi(
             self.cam, jnp.asarray(poses),
             jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
-            jnp.asarray(descs), jnp.asarray(unds),
+            tuple(d["desc_i8"] for d in dn),
+            tuple(d["und"] for d in dn),
             jnp.asarray(kvals), jnp.asarray(klvls),
             jnp.float32(3.0), jnp.asarray(self.scale_factors),
             jnp.asarray(pred),
@@ -367,6 +433,8 @@ class MappingModule:
         db = self.db
         local = [kf] + db.get_top_covisible(kf, self.C - 1)
         local = [k for k in local if db.kf_valid[k]]
+        if not local:
+            return None       # the keyframe was culled before its BA ran
         local_set = set(local)
         # landmarks of local KFs: one vectorized pass over their lm columns
         cat = np.concatenate([db.kf_lm_idx[k] for k in local])
@@ -529,4 +597,5 @@ class MappingModule:
             n_redundant = int(((n_better >= 3) & ok_lm).sum())
             if n_redundant > self.cfg.mapping.redundant_obs_ratio_thr * len(kpts):
                 db.erase_keyframe(k)
+                self.kfs_culled += 1
                 hist = None          # observations changed: rebuild lazily
