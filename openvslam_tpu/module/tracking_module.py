@@ -426,6 +426,11 @@ class TrackingModule:
                 frame.outlier[:] = False
                 T_cur, num_inl = self._track_local_map(frame, T_cur)
         if num_inl < thr and not weak_ok:
+            # borderline inlier count on the NORMAL path too: accept when
+            # the optimized pose agrees with the motion prediction (thin
+            # local map mid-corner, not a wrong pose)
+            weak_ok = self._rescue_acceptable(T_cur, T_mm_pred, num_inl)
+        if num_inl < thr and not weak_ok:
             self.state = TrackerState.LOST
             _log.info("tracking lost at frame %d: %d local-map inliers "
                       "(threshold %d)", frame.frame_id, num_inl, thr)
