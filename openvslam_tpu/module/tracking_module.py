@@ -743,7 +743,11 @@ class TrackingModule:
             return None
         frame.pose_cw = T.astype(np.float32)
         T_cur, num_inl = self._track_local_map(frame, frame.pose_cw)
-        if num_inl < 20:
+        if num_inl < 40:
+            # the reference accepts relocalization only at ~50 inliers:
+            # under perceptual aliasing (repeated street texture) a ~30
+            # inlier "success" is routinely a FALSE match that would anchor
+            # the tracker to the wrong corridor
             frame.pose_cw = None
             return None
         frame.pose_cw = T_cur.astype(np.float32)
