@@ -350,34 +350,48 @@ def save_orbslam_text(vocab: "TreeVocabulary", path: str,
 # ---------------------------------------------------------------------------
 # DBoW2 binary vocabulary format (the reference ships ``orb_vocab.dbow2``).
 #
-# Layout, per the DBoW2-lineage binary save/load used across the ORB-SLAM
-# ecosystem (the widely-circulated loadFromBinaryFile patch and the forks
-# derived from it): a little-endian stream of
+# Layout, matching the de-facto ORB-SLAM2 ``saveToBinaryFile`` /
+# ``loadFromBinaryFile`` patch that the .bin/.dbow2 files circulating in the
+# ORB-SLAM ecosystem use: a little-endian stream of
 #
-#   int32 k, int32 L, int32 scoring_type, int32 weighting_type
+#   uint32 nb_nodes   (total node count INCLUDING the root)
+#   uint32 size_node  (bytes per record; 41 for 256-bit ORB)
+#   int32  k, int32 L, int32 scoring_type, int32 weighting_type
 #   then one fixed-size record per non-root node, parents before children:
-#     int32  parent_node_id
-#     uint8  is_leaf
+#     int32   parent_node_id
 #      32 x uint8 descriptor bytes  (ORB, 256 bits)
-#     float64 weight
+#     float32 weight
+#     uint8   is_leaf
 #
-# (45 bytes/node.)  Node ids are implicit, exactly as in the text format.
-# No oracle .dbow2 file is reachable offline, so the layout is additionally
-# covered by a write->read roundtrip and by equivalence with the text
-# format on the same tree (tests/test_orbslam_vocab.py).
+# Node ids are implicit (1..nb_nodes-1), exactly as in the text format.
+# No oracle .dbow2 file is reachable offline; the layout is transcribed from
+# the public patch's field order and covered by a write->read roundtrip and
+# by equivalence with the text format on the same tree
+# (tests/test_vocab_generalization.py).
 # ---------------------------------------------------------------------------
 
 _DBOW2_NODE = np.dtype([
-    ("parent", "<i4"), ("is_leaf", "u1"), ("desc", "u1", 32),
-    ("weight", "<f8"),
+    ("parent", "<i4"), ("desc", "u1", 32), ("weight", "<f4"),
+    ("is_leaf", "u1"),
 ])
 
 
 def load_dbow2_binary(path: str) -> "TreeVocabulary":
     with open(path, "rb") as f:
+        nb_nodes, size_node = np.frombuffer(f.read(8), "<u4")
         head = np.frombuffer(f.read(16), "<i4")
         k, levels = int(head[0]), int(head[1])
-        nodes = np.frombuffer(f.read(), _DBOW2_NODE)
+        if size_node != _DBOW2_NODE.itemsize:
+            raise ValueError(
+                f"{path}: size_node={size_node} != {_DBOW2_NODE.itemsize} — "
+                "not a 256-bit ORB DBoW2 binary vocabulary")
+        payload = f.read()
+        expect = (int(nb_nodes) - 1) * int(size_node)
+        if len(payload) != expect:
+            raise ValueError(
+                f"{path}: payload is {len(payload)} bytes, expected "
+                f"{expect} ((nb_nodes-1) * size_node)")
+        nodes = np.frombuffer(payload, _DBOW2_NODE)
     level_centers = [np.zeros((k ** (l + 1), 256), np.int8)
                      for l in range(levels)]
     level_valid = [np.zeros(k ** (l + 1), bool) for l in range(levels)]
@@ -416,23 +430,25 @@ def save_dbow2_binary(vocab: "TreeVocabulary", path: str,
     k, levels = vocab.k, vocab.levels
     records = []
     ids = {(-1, 0): 0}
+    for lvl in range(levels):
+        for slot in np.nonzero(vocab.level_valid[lvl])[0]:
+            slot = int(slot)
+            parent = (lvl - 1, slot // k) if lvl else (-1, 0)
+            rec = np.zeros((), _DBOW2_NODE)
+            rec["parent"] = ids[parent]
+            is_leaf = (lvl == levels - 1 or not
+                       vocab.level_valid[lvl + 1][slot * k:slot * k + k].any())
+            rec["is_leaf"] = 1 if is_leaf else 0
+            rec["desc"] = _bits_to_desc_bytes(
+                vocab.level_centers[lvl][slot])
+            rec["weight"] = (float(vocab.idf[slot])
+                             if lvl == levels - 1 else 0.0)
+            records.append(rec)
+            ids[(lvl, slot)] = len(ids)
     with open(path, "wb") as f:
+        f.write(np.asarray([len(records) + 1, _DBOW2_NODE.itemsize],
+                           "<u4").tobytes())
         f.write(np.asarray([k, levels, scoring, weighting], "<i4").tobytes())
-        for lvl in range(levels):
-            for slot in np.nonzero(vocab.level_valid[lvl])[0]:
-                slot = int(slot)
-                parent = (lvl - 1, slot // k) if lvl else (-1, 0)
-                rec = np.zeros((), _DBOW2_NODE)
-                rec["parent"] = ids[parent]
-                is_leaf = (lvl == levels - 1 or not
-                           vocab.level_valid[lvl + 1][slot * k:slot * k + k].any())
-                rec["is_leaf"] = 1 if is_leaf else 0
-                rec["desc"] = _bits_to_desc_bytes(
-                    vocab.level_centers[lvl][slot])
-                rec["weight"] = (float(vocab.idf[slot])
-                                 if lvl == levels - 1 else 0.0)
-                records.append(rec)
-                ids[(lvl, slot)] = len(ids)
         f.write(np.stack(records).tobytes())
 
 

@@ -38,7 +38,13 @@ class MappingModule:
         self.sigma2 = self.scale_factors**2
         self.num_levels = nl
         self.C, self.L, self.O = ba_cams, ba_lms, ba_obs
-        self.local_ba = shared_local_ba(cam, stereo=self.stereo)
+        # solver iteration schedule (ref local_bundle_adjuster: LM 5 iters,
+        # outlier removal, 10 more); kept as attributes so the
+        # ba_iters_per_s stat tracks the configured schedule
+        self.ba_first_iters, self.ba_second_iters = 5, 10
+        self.local_ba = shared_local_ba(
+            cam, stereo=self.stereo, first_iters=self.ba_first_iters,
+            second_iters=self.ba_second_iters)
         self._local_ba_multicam = None    # built lazily (merged-session maps)
         self.recent_lms: List[Tuple[int, int]] = []   # (lm, born_kf)
         self.num_covis_for_triangulation = 10
@@ -416,7 +422,7 @@ class MappingModule:
         _t0 = _time.perf_counter()
         res = solver(prob)                 # jitted solve — outside the lock
         self.ba_runs += 1
-        self.ba_iters_total += 15          # 5 + 10 LM iterations per run
+        self.ba_iters_total += self.ba_first_iters + self.ba_second_iters
         self.ba_wall_s += _time.perf_counter() - _t0
         with lock:
             self._apply_ba_result(res, cam_index, lm_index, cam_opt,
@@ -426,7 +432,8 @@ class MappingModule:
     def _multicam_local_ba(self):
         if self._local_ba_multicam is None:
             self._local_ba_multicam = shared_local_ba(
-                self.cam, multicam=True)
+                self.cam, multicam=True, first_iters=self.ba_first_iters,
+                second_iters=self.ba_second_iters)
         return self._local_ba_multicam
 
     def _build_ba_problem(self, kf: int):

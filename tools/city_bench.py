@@ -198,9 +198,9 @@ def main():
         "system_fps": round(args.frames / wall, 1),
         "median_track_ms": round(float(np.median(tt) * 1000), 2),
         "p90_track_ms": round(float(np.percentile(tt, 90) * 1000), 2),
+        "p99_track_ms": round(float(np.percentile(tt, 99) * 1000), 2),
         "max_track_ms": round(float(tt.max() * 1000), 1),
-        "overflow": getattr(s.tracker, "overflow_stats", lambda: {})()
-        if hasattr(s.tracker, "overflow_stats") else {},
+        "overflow": st["overflow"],
     }
     print(json.dumps(report, indent=2))
     if args.out:
