@@ -189,8 +189,11 @@ class OrbFrontend:
         levels = [imgs]
         for l in range(1, self.num_levels):
             hl, wl = shapes[l]
-            levels.append(jax.image.resize(
-                levels[-1], (b, hl, wl), method="linear", antialias=True))
+            # integer-valued levels at HIGHEST resize precision — the same
+            # platform-determinism contract as pyramid.build_pyramid
+            levels.append(pyramid.quantize_u8_grid(jax.image.resize(
+                levels[-1], (b, hl, wl), method="linear", antialias=True,
+                precision=jax.lax.Precision.HIGHEST)))
         xs, rs, ls, ans, descs, vs = [], [], [], [], [], []
         for l, (lvl_imgs, budget) in enumerate(zip(levels, self.budgets)):
             lvl_masks = None

@@ -155,10 +155,17 @@ _ONES_K = jnp.asarray(np.ones_like(_ww))
 _RAMP_K = jnp.asarray(_ww)
 
 
+# HIGHEST precision: TPU convs default to bf16-rounded operands, and the
+# second separable pass runs over column/row sums (magnitude ~8k) that bf16
+# cannot represent exactly — the resulting moment noise is ~2 deg of IC
+# angle, a platform-dependent descriptor perturbation (CPU f32 convs are
+# exact).  These 1-D convs are bandwidth-trivial; precision costs nothing
+# measurable.
 def _conv1d_h(img, k):
     return jax.lax.conv_general_dilated(
         img[None, None, :, :], k[None, None, None, :],
         window_strides=(1, 1), padding="SAME",
+        precision=jax.lax.Precision.HIGHEST,
     )[0, 0]
 
 
@@ -166,6 +173,7 @@ def _conv1d_v(img, k):
     return jax.lax.conv_general_dilated(
         img[None, None, :, :], k[None, None, :, None],
         window_strides=(1, 1), padding="SAME",
+        precision=jax.lax.Precision.HIGHEST,
     )[0, 0]
 
 

@@ -25,16 +25,31 @@ def scale_factors(num_levels: int, scale: float):
 
 def build_pyramid(img: jnp.ndarray, num_levels: int, scale: float):
     """(H,W) f32 -> list of (Hl,Wl) f32, successively resized (like the ref,
-    each level resized from the previous for proper low-pass behavior)."""
+    each level resized from the previous for proper low-pass behavior).
+
+    Levels are INTEGER-VALUED (rounded to the 0..255 grid, as cv::resize on
+    u8 images produces) and the resize contraction runs at HIGHEST matmul
+    precision.  Both matter for platform determinism: jax.image.resize
+    lowers to per-axis matmuls, which on TPU default to bf16-rounded
+    operands — leaving levels fractional put ~0.5-gray-level platform noise
+    under every FAST compare and descriptor bit (the r3 city run's
+    deterministic TPU-only tracking loss: CPU survived the same sequence).
+    With integer levels every downstream compare/moment is exact integer
+    arithmetic on both backends."""
     h, w = img.shape
     shapes = level_shapes(h, w, num_levels, scale)
     levels = [img]
     for l in range(1, num_levels):
         prev = levels[-1]
-        levels.append(
-            jax.image.resize(prev, shapes[l], method="linear", antialias=True)
-        )
+        levels.append(quantize_u8_grid(jax.image.resize(
+            prev, shapes[l], method="linear", antialias=True,
+            precision=jax.lax.Precision.HIGHEST)))
     return levels
+
+
+def quantize_u8_grid(img: jnp.ndarray) -> jnp.ndarray:
+    """Round to the integer 0..255 grid, staying f32 (cv2 u8 semantics)."""
+    return jnp.clip(jnp.round(img), 0.0, 255.0)
 
 
 def _gaussian_kernel1d(ksize: int, sigma: float):
@@ -63,4 +78,9 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0):
     x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
     x = sum(float(kk[i]) * jax.lax.slice_in_dim(x, i, i + w, axis=1)
             for i in range(ksize))
-    return x
+    # cv::GaussianBlur on u8 rounds back to u8; quantizing keeps every
+    # downstream descriptor compare exact integer arithmetic (and makes the
+    # bf16 operand casts in the one-hot describe matmuls lossless — integers
+    # <= 255 are exactly representable in bf16), so descriptors are
+    # platform-identical instead of flipping on near-tie sample pairs
+    return quantize_u8_grid(x)
