@@ -67,14 +67,18 @@ class GlobalOptimizationModule:
             self.bow_db.remove_keyframe(k)
         words = self.bow_db.compute_words(db.kf_desc_i8[kf], db.kf_kpt_valid[kf])
         self.bow_db.add_keyframe(kf, words)
+        self._prewarm_growth()
         if not self.loop_enabled:
             return
         if kf - self.last_loop_kf < 10:   # cooldown (ref: 10 KFs)
             return
         candidates = self.loop_detector.detect(kf)
         for cand in candidates:
+            # full inlier gate (ref: ~min_num_valid_obs after the transform
+            # optimization); reachable because validate() now widens the BoW
+            # matches with the Sim3-warped projection search
             out = self.loop_detector.validate(
-                kf, cand, min_inliers=self.cfg.loop.min_num_valid_obs // 2
+                kf, cand, min_inliers=self.cfg.loop.min_num_valid_obs
             )
             if out is None:
                 continue
@@ -87,6 +91,70 @@ class GlobalOptimizationModule:
             _log.info("loop %d closed (pose graph + global BA dispatched)",
                       self.num_loops_closed)
             return
+
+    # ------------------------------------------------------------------
+    # bucket pre-warming (r3 weak #3: power-of-2 solver shapes growing with
+    # the map recompiled inside the tracking loop — p90 1.26 s, max 35.9 s
+    # on the city run).  Submit the buckets the map will need next to the
+    # background compile thread, with ~30% headroom.
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _bkt(n, lo):
+        return max(lo, 1 << int(np.ceil(np.log2(max(int(n), 2)))))
+
+    def _prewarm_growth(self):
+        from ..utils.prewarm import prewarmer, enabled
+        if not enabled():
+            return
+        db = self.db
+        kf_ids = db.valid_kf_ids()
+        lm_ids = db.valid_lm_ids()
+        n_c, n_l = len(kf_ids), len(lm_ids)
+        if n_c < 3 or n_l < 30:
+            return
+        n_obs = int(db.lm_num_obs[lm_ids].sum())
+        pw = prewarmer()
+        for head in (1.0, 1.3):
+            C = self._bkt(n_c * head, 8)
+            L = self._bkt(n_l * head, 64)
+            O = self._bkt(n_obs * head, 256)
+            pw.submit(f"gba_C{C}_L{L}_O{O}_s{self.stereo}",
+                      lambda C=C, L=L, O=O: self._prewarm_global_ba(C, L, O))
+            N = self._bkt(n_c * head, 8)
+            pw.submit(f"pg_N{N}", lambda N=N: self._prewarm_pose_graph(N))
+
+    def _prewarm_global_ba(self, C: int, L: int, O: int):
+        """Dummy-shaped compile of the loop-closure global BA (iters=60 /
+        cg_iters=30, exactly the correct_loop configuration)."""
+        D = 3 if self.stereo else 2
+        ba = shared_global_ba(self.cam, stereo=self.stereo, iters=60,
+                              cg_iters=30, multicam=False)
+        prob = BAProblem(
+            jnp.tile(jnp.eye(4, dtype=jnp.float32), (C, 1, 1)),
+            jnp.zeros(C, bool), jnp.zeros(C, bool),
+            jnp.zeros((L, 3), jnp.float32), jnp.zeros(L, bool),
+            jnp.zeros(O, jnp.int32), jnp.zeros(O, jnp.int32),
+            jnp.zeros((O, D), jnp.float32), jnp.ones(O, jnp.float32),
+            jnp.zeros(O, bool),
+        )
+        ba(prob).T_cw.block_until_ready()
+
+    def _prewarm_pose_graph(self, N: int):
+        """Dummy-shaped compile of the Sim3 pose graph at node bucket N.
+        The edge bucket is a deterministic function of N (see
+        _optimize_pose_graph's E floor), so one compile per N suffices for
+        all but pathologically dense covisibility."""
+        E = 4 * N
+        prob = PoseGraphProblem(
+            jnp.tile(jnp.eye(3, dtype=jnp.float32), (N, 1, 1)),
+            jnp.zeros((N, 3), jnp.float32), jnp.ones(N, jnp.float32),
+            jnp.zeros(N, bool), jnp.zeros(N, bool),
+            jnp.zeros(E, jnp.int32), jnp.zeros(E, jnp.int32),
+            jnp.tile(jnp.eye(3, dtype=jnp.float32), (E, 1, 1)),
+            jnp.zeros((E, 3), jnp.float32), jnp.ones(E, jnp.float32),
+            jnp.zeros(E, bool),
+        )
+        self.pose_graph_opt(prob)[0].block_until_ready()
 
     # ------------------------------------------------------------------
     def correct_loop(self, kf: int, cand: int, g_cur_from_cand, lms_k, lms_c,
@@ -193,7 +261,11 @@ class GlobalOptimizationModule:
                 if w >= COVIS_GRAPH_EDGE_WEIGHT and nb in index:
                     edges.add((min(k, nb), max(k, nb)))
         edges = sorted(edges)
-        E = max(8, 1 << int(np.ceil(np.log2(max(len(edges), 2)))))
+        # E floor of 4N makes the edge bucket a deterministic function of
+        # the node bucket for all but pathologically dense covisibility, so
+        # _prewarm_pose_graph's compile is the one this call hits; the
+        # overpadding is linear masked work on the device (negligible)
+        E = max(4 * N, 1 << int(np.ceil(np.log2(max(len(edges), 2)))))
         e_i = np.zeros(E, np.int32)
         e_j = np.zeros(E, np.int32)
         e_R = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))

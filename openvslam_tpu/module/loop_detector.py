@@ -122,6 +122,35 @@ class LoopDetector:
         )
         if int(np.asarray(inl).sum()) < 10:
             return None
+
+        # Sim3-warped projection widening, BOTH directions (ref
+        # validate_candidates: match::projection with the RANSAC Sim3 before
+        # the transform optimization) — BoW matching misses pairs whose
+        # words drifted; the warped projection search recovers them, so the
+        # full inlier gate below is reachable on true loops and false loops
+        # cannot ride a handful of aliased BoW hits.
+        g_np = (np.asarray(g[0]), np.asarray(g[1]), float(np.asarray(g[2])))
+        add_k, add_c = self._widen_matches(
+            kf, cand, g_np, set(int(i) for i in mk), set(int(i) for i in mc))
+        if len(add_k):
+            mk = np.concatenate([mk, add_k])
+            mc = np.concatenate([mc, add_c])
+            lms_k = db.kf_lm_idx[kf][mk]
+            lms_c = db.kf_lm_idx[cand][mc]
+            n = len(mk)
+            T_k = db.kf_pose_cw[kf]
+            T_c = db.kf_pose_cw[cand]
+            pk = (T_k[:3, :3] @ db.lm_pos[lms_k].T).T + T_k[:3, 3]
+            pc = (T_c[:3, :3] @ db.lm_pos[lms_c].T).T + T_c[:3, 3]
+            cap = max(64, 1 << int(np.ceil(np.log2(max(n, 2)))))
+            p1 = np.zeros((cap, 3), np.float32)
+            p2 = np.zeros((cap, 3), np.float32)
+            pmask = np.zeros(cap, bool)
+            p1[:n] = pc
+            p2[:n] = pk
+            pmask[:n] = True
+            p1j, p2j, mj = jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(pmask)
+
         # refine with mutual reprojection (uses keypoint observations)
         uv1 = np.zeros((cap, 2), np.float32)
         uv2 = np.zeros((cap, 2), np.float32)
@@ -142,3 +171,69 @@ class LoopDetector:
             return None
         return (np.asarray(res.R), np.asarray(res.t), float(res.s),
                 mk, mc, lms_k, lms_c)
+
+    # ------------------------------------------------------------------
+    def _widen_matches(self, kf: int, cand: int, g, taken_k, taken_c,
+                       radius_base: float = 8.0):
+        """Sim3-guided projection search in both directions (ref
+        match::projection in validate_candidates / ORB-SLAM SearchBySim3):
+        project cand's landmarks into kf via g=S(cur<-cand) and kf's
+        landmarks into cand via g^-1, match descriptors within a
+        scale-dependent radius, and keep MUTUALLY consistent new pairs.
+        Both sides of a pair must carry a landmark (the transform optimizer
+        needs positions in both frames).  Returns (new_k_idx, new_c_idx)
+        keypoint-slot arrays.  Fixed (K_kf, K_cand) shapes — one compile per
+        keyframe capacity, not per call."""
+        db = self.db
+        R, t, s = g
+        sf = self.cfg.feature.scale_factor
+
+        def project_dir(src, dst, Rg, tg, sg, taken_src):
+            """Project src-KF landmarks into dst-KF image; match against
+            dst keypoints that carry landmarks.  Returns idx array (K_src,)
+            of dst keypoint slots (-1 unmatched)."""
+            lm = db.kf_lm_idx[src]
+            a_valid = (lm >= 0) & db.kf_kpt_valid[src] & \
+                db.lm_valid[np.clip(lm, 0, db.n_lms - 1)]
+            if len(taken_src):
+                a_valid = a_valid.copy()
+                a_valid[list(taken_src)] = False
+            X = db.lm_pos[np.clip(lm, 0, db.n_lms - 1)]
+            T_src = db.kf_pose_cw[src]
+            p_src = (T_src[:3, :3] @ X.T).T + T_src[:3, 3]
+            p_dst = sg * (Rg @ p_src.T).T + tg
+            uv, z, _ = self.cam.project(jnp.asarray(p_dst, jnp.float32))
+            vis = jnp.asarray(a_valid) & (z > 1e-6)
+            pred_level = db.kf_level[src].astype(np.int32)
+            radius = radius_base * (sf ** pred_level.astype(np.float32))
+            b_lm = db.kf_lm_idx[dst]
+            b_valid = (b_lm >= 0) & db.kf_kpt_valid[dst] & \
+                db.lm_valid[np.clip(b_lm, 0, db.n_lms - 1)]
+            idx, _ = M.projection_scale_match(
+                jnp.asarray(db.kf_desc_i8[src]), jnp.asarray(db.kf_desc_i8[dst]),
+                uv, vis, jnp.asarray(radius), jnp.asarray(pred_level),
+                jnp.asarray(db.kf_xy_undist[dst]),
+                jnp.asarray(db.kf_level[dst].astype(np.int32)),
+                jnp.asarray(b_valid),
+                max_dist=M.HAMMING_DIST_THR_LOW, cross_check=True,
+            )
+            return np.asarray(idx)
+
+        # direction 1: cand landmarks -> kf image  (match1[jc] = ik)
+        m1 = project_dir(cand, kf, R, t, s, taken_c)
+        # direction 2: kf landmarks -> cand image  (match2[ik] = jc)
+        Ri = R.T
+        si = 1.0 / max(s, 1e-12)
+        ti = -si * (Ri @ t)
+        m2 = project_dir(kf, cand, Ri, ti, si, taken_k)
+        new_k, new_c = [], []
+        for jc in np.where(m1 >= 0)[0]:
+            ik = int(m1[jc])
+            if ik in taken_k or int(jc) in taken_c:
+                continue
+            if int(m2[ik]) == int(jc):      # mutual agreement
+                new_k.append(ik)
+                new_c.append(int(jc))
+                taken_k.add(ik)
+                taken_c.add(int(jc))
+        return (np.asarray(new_k, np.int64), np.asarray(new_c, np.int64))

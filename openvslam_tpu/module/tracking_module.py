@@ -70,6 +70,10 @@ class TrackingModule:
         # maxlen 64 covers depth 31 at negligible cost (System.feed_sequence
         # clamps depth accordingly)
         self._pose_hist: collections.deque = collections.deque(maxlen=64)
+        # pipelined-prediction diagnostics: times the lead-N displacement
+        # lookup missed its history entry and fell back to repeated
+        # one-frame velocity (the noise-amplifying path — see _predict_pose)
+        self.pred_hist_misses = 0
         # capacity-overflow accounting (SURVEY §7 hard part 1)
         self.overflow: dict = {}
 
@@ -362,8 +366,13 @@ class TrackingModule:
         the optimized pose agrees with the constant-velocity prediction —
         the map is sparse at the leading edge, not wrong.  Bounds: the
         translation residual vs prediction stays under max(1.5x the frame
-        displacement, 0.5), rotation under ~10 degrees."""
-        if num_inl < 12:
+        displacement, 0.5), rotation under ~10 degrees.  Disabled inside the
+        30-frame post-relocalization window: thr=50 exists there precisely
+        because the reloc anchor may be a false match, and right after reloc
+        the constant-velocity prediction is itself seeded from that anchor —
+        "agrees with prediction" would keep a wrong-corridor reloc alive on
+        12 inliers (mirrors the reference's stricter post-reloc gate)."""
+        if num_inl < 12 or self.frames_since_reloc <= 30:
             return False
         d = np.linalg.inv(T_pred) @ T_cur
         dt = float(np.linalg.norm(d[:3, 3]))
@@ -484,6 +493,7 @@ class TrackingModule:
                 if fid == tgt:
                     return (lf.pose_cw @ np.linalg.inv(pose)
                             @ lf.pose_cw).astype(np.float32)
+            self.pred_hist_misses += 1
         T_pred = lf.pose_cw
         for _ in range(max(1, lead)):
             T_pred = self.velocity @ T_pred
