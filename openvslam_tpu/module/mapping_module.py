@@ -73,6 +73,11 @@ class MappingModule:
         self.phase_s[name] = self.phase_s.get(name, 0.0) + (now - t0)
         return now
 
+    def _lock(self):
+        import contextlib
+        return (self.map_lock if self.map_lock is not None
+                else contextlib.nullcontext())
+
     # ------------------------------------------------------------------
     # device-resident per-keyframe operands.  Keypoint columns (descriptors,
     # bearings, undistorted coords, angles, per-level sigma2) are immutable
@@ -163,18 +168,23 @@ class MappingModule:
         False implements the abort-on-backlog policy (ref: local BA aborted
         when new keyframes are waiting).  Map mutations run under map_lock
         when one is set (async mode); the BA solve releases it."""
-        import contextlib
         import time as _time
-        lock = self.map_lock if self.map_lock is not None else contextlib.nullcontext()
+        lock = self._lock()
         with lock:
             n_lm0 = len(self.db.valid_lm_ids())
             t = _time.perf_counter()
             self.remove_redundant_landmarks(kf)
             t = self._phase("cull_lms", t)
-            self.create_new_landmarks(kf)
-            t = self._phase("triangulate", t)
-            self.fuse_duplicated_landmarks(kf)
-            self._phase("fuse", t)
+        # triangulate/fuse/BA take the lock internally only around their
+        # host-mutation sections; their device calls run UNLOCKED so async
+        # tracking finishes never wait on a mapping device round trip
+        # (the reference's mutex discipline — ops lock briefly, not the
+        # whole mapping iteration)
+        t = _time.perf_counter()
+        self.create_new_landmarks(kf)
+        t = self._phase("triangulate", t)
+        self.fuse_duplicated_landmarks(kf)
+        self._phase("fuse", t)
         if run_ba:
             t = _time.perf_counter()
             self._run_local_ba(kf)      # takes/releases the lock internally
@@ -246,43 +256,54 @@ class MappingModule:
     # triangulation with covisible keyframes (ref create_new_landmarks)
     # ------------------------------------------------------------------
     def create_new_landmarks(self, kf: int):
+        """Snapshot under the map lock, run the device call UNLOCKED, apply
+        results under the lock with revalidation (first-wins checks against
+        the live kf_lm_idx columns)."""
         db = self.db
-        neighbors = db.get_top_covisible(kf, self.num_covis_for_triangulation)
-        if not neighbors:
-            # fall back: previous keyframe
-            prev = [k for k in db.valid_kf_ids() if k != kf]
-            neighbors = prev[-2:]
-        T1 = db.kf_pose_cw[kf]
-        c1 = -T1[:3, :3].T @ T1[:3, 3]
-        unmatched1 = (db.kf_lm_idx[kf] < 0) & db.kf_kpt_valid[kf]
-        median_depth = self._median_scene_depth(kf)
-        # baseline-gate the neighbor set on the host, then run robust match +
-        # orientation check + checked triangulation against ALL surviving
-        # neighbors in ONE device call (was ~6 round-trips per neighbor)
-        usable = []
-        for nb in neighbors:
-            T2 = db.kf_pose_cw[nb]
-            c2 = -T2[:3, :3].T @ T2[:3, 3]
-            baseline = np.linalg.norm(c2 - c1)
-            if self.stereo:
-                if baseline < getattr(self.cam, "focal_x_baseline", 0.0) / max(
-                        getattr(self.cam, "fx", 1.0), 1e-9):
+        with self._lock():
+            if not db.kf_valid[kf]:
+                return
+            neighbors = db.get_top_covisible(
+                kf, self.num_covis_for_triangulation)
+            if not neighbors:
+                # fall back: previous keyframe
+                prev = [k for k in db.valid_kf_ids() if k != kf]
+                neighbors = prev[-2:]
+            T1 = db.kf_pose_cw[kf].copy()
+            c1 = -T1[:3, :3].T @ T1[:3, 3]
+            unmatched1 = (db.kf_lm_idx[kf] < 0) & db.kf_kpt_valid[kf]
+            median_depth = self._median_scene_depth(kf)
+            # baseline-gate the neighbor set on the host, then run robust
+            # match + orientation check + checked triangulation against ALL
+            # surviving neighbors in ONE device call
+            usable = []
+            for nb in neighbors:
+                T2 = db.kf_pose_cw[nb]
+                c2 = -T2[:3, :3].T @ T2[:3, 3]
+                baseline = np.linalg.norm(c2 - c1)
+                if self.stereo:
+                    if baseline < getattr(self.cam, "focal_x_baseline", 0.0) \
+                            / max(getattr(self.cam, "fx", 1.0), 1e-9):
+                        continue
+                elif baseline < (self.cfg.mapping.baseline_dist_thr_ratio
+                                 * median_depth):
                     continue
-            elif baseline < self.cfg.mapping.baseline_dist_thr_ratio * median_depth:
-                continue
-            usable.append(nb)
-        if not usable:
-            db.update_connections(kf)
-            return
-        B = max(1, int(self.num_covis_for_triangulation))
-        nb_list = (usable + [usable[0]] * B)[:B]
-        un2 = np.stack([
-            (db.kf_lm_idx[nb] < 0) & db.kf_kpt_valid[nb] for nb in nb_list])
-        un2[len(usable):] = False                         # padding neighbors
-        # immutable keypoint columns ride the device-resident cache — only
-        # poses/masks (mutable, small) are uploaded per call
-        d1 = self._kf_dev(kf)
-        dn = [self._kf_dev(nb) for nb in nb_list]
+                usable.append(nb)
+            if not usable:
+                db.update_connections(kf)
+                return
+            B = max(1, int(self.num_covis_for_triangulation))
+            nb_list = (usable + [usable[0]] * B)[:B]
+            un2 = np.stack([
+                (db.kf_lm_idx[nb] < 0) & db.kf_kpt_valid[nb]
+                for nb in nb_list])
+            un2[len(usable):] = False                     # padding neighbors
+            # immutable keypoint columns ride the device-resident cache —
+            # only poses/masks (mutable, small) are uploaded per call
+            d1 = self._kf_dev(kf)
+            dn = [self._kf_dev(nb) for nb in nb_list]
+            poses_nb = np.stack([db.kf_pose_cw[nb] for nb in nb_list]).astype(
+                np.float32)
         idx_all, X_all, ok_all = TO.triangulation_candidates_multi(
             self.cam,
             jnp.asarray(T1, jnp.float32),
@@ -290,8 +311,7 @@ class MappingModule:
             d1["bearing"], d1["angle"],
             d1["und"],
             d1["sigma2"],
-            jnp.asarray(np.stack([db.kf_pose_cw[nb] for nb in nb_list])
-                        .astype(np.float32)),
+            jnp.asarray(poses_nb),
             tuple(d["desc_i8"] for d in dn),
             jnp.asarray(un2),
             tuple(d["bearing"] for d in dn),
@@ -303,29 +323,32 @@ class MappingModule:
         idx_all = np.asarray(idx_all)
         X_all = np.asarray(X_all)
         ok_all = np.asarray(ok_all)
-        born = []
-        for b, nb in enumerate(usable):
-            for j in np.where(ok_all[b] & (idx_all[b] >= 0))[0]:
-                i1, i2 = int(j), int(idx_all[b][j])
-                # first-wins across neighbors (the sequential loop removed a
-                # landmarked keypoint from later matching; here the later
-                # match is simply skipped)
-                if db.kf_lm_idx[kf][i1] >= 0 or db.kf_lm_idx[nb][i2] >= 0:
+        with self._lock():
+            if not db.kf_valid[kf]:
+                return
+            born = []
+            for b, nb in enumerate(usable):
+                if not db.kf_valid[nb]:
                     continue
-                lm = db.add_landmark(
-                    X_all[b][j].astype(np.float32),
-                    db.kf_desc_u32[kf][i1], db.kf_desc_i8[kf][i1], kf,
-                )
-                db.add_observation(lm, kf, i1)
-                db.add_observation(lm, nb, i2)
-                db.update_landmark_descriptor(lm)
-                born.append(lm)
-                self.recent_lms.append((lm, kf))
-                unmatched1[i1] = False
-        self.lms_created += len(born)
-        db.update_landmark_geometry_batch(
-            born, self.cfg.feature.scale_factor, self.num_levels)
-        db.update_connections(kf)
+                for j in np.where(ok_all[b] & (idx_all[b] >= 0))[0]:
+                    i1, i2 = int(j), int(idx_all[b][j])
+                    # first-wins across neighbors AND against any
+                    # association made while the call was in flight
+                    if db.kf_lm_idx[kf][i1] >= 0 or db.kf_lm_idx[nb][i2] >= 0:
+                        continue
+                    lm = db.add_landmark(
+                        X_all[b][j].astype(np.float32),
+                        db.kf_desc_u32[kf][i1], db.kf_desc_i8[kf][i1], kf,
+                    )
+                    db.add_observation(lm, kf, i1)
+                    db.add_observation(lm, nb, i2)
+                    db.update_landmark_descriptor(lm)
+                    born.append(lm)
+                    self.recent_lms.append((lm, kf))
+            self.lms_created += len(born)
+            db.update_landmark_geometry_batch(
+                born, self.cfg.feature.scale_factor, self.num_levels)
+            db.update_connections(kf)
 
     def _median_scene_depth(self, kf: int) -> float:
         db = self.db
@@ -343,32 +366,39 @@ class MappingModule:
     # duplicate fusion (ref update_new_keyframe / match::fuse)
     # ------------------------------------------------------------------
     def fuse_duplicated_landmarks(self, kf: int):
+        """Same snapshot/unlocked-call/locked-apply structure as
+        create_new_landmarks."""
         db = self.db
-        targets = db.get_top_covisible(kf, self.cfg.mapping.num_covisibilities_for_landmark_fusion)
-        own = db.kf_lm_idx[kf]
-        own_lms = own[own >= 0]
-        if len(own_lms) == 0 or not targets:
-            return
-        Lcap = 4096
-        n = min(len(own_lms), Lcap)
-        lm_ids = own_lms[:n]
-        pos = np.zeros((Lcap, 3), np.float32)
-        desc = np.zeros((Lcap, 256), np.int8)
-        valid = np.zeros(Lcap, bool)
-        pos[:n] = db.lm_pos[lm_ids]
-        desc[:n] = db.lm_desc_i8[lm_ids]
-        valid[:n] = True
-        pred = np.full(Lcap, -1, np.int32)
-        # ALL covisible targets in ONE device call (padded to the configured
-        # cap so the program compiles once): 2 round-trips per keyframe
-        # insertion instead of 2 per neighbor
-        B = max(1, int(self.cfg.mapping.num_covisibilities_for_landmark_fusion))
-        nb_list = (targets + [targets[0]] * B)[:B]
-        poses = np.stack([db.kf_pose_cw[nb] for nb in nb_list]).astype(np.float32)
-        dn = [self._kf_dev(nb) for nb in nb_list]
-        kvals = np.stack([db.kf_kpt_valid[nb] for nb in nb_list])
-        kvals[len(targets):] = False                      # padding neighbors
-        klvls = np.stack([db.kf_level[nb] for nb in nb_list])
+        with self._lock():
+            if not db.kf_valid[kf]:
+                return
+            targets = db.get_top_covisible(
+                kf, self.cfg.mapping.num_covisibilities_for_landmark_fusion)
+            own = db.kf_lm_idx[kf]
+            own_lms = own[own >= 0]
+            if len(own_lms) == 0 or not targets:
+                return
+            Lcap = 4096
+            n = min(len(own_lms), Lcap)
+            lm_ids = own_lms[:n].copy()
+            pos = np.zeros((Lcap, 3), np.float32)
+            desc = np.zeros((Lcap, 256), np.int8)
+            valid = np.zeros(Lcap, bool)
+            pos[:n] = db.lm_pos[lm_ids]
+            desc[:n] = db.lm_desc_i8[lm_ids]
+            valid[:n] = True
+            pred = np.full(Lcap, -1, np.int32)
+            # ALL covisible targets in ONE device call (padded to the
+            # configured cap so the program compiles once)
+            B = max(1, int(
+                self.cfg.mapping.num_covisibilities_for_landmark_fusion))
+            nb_list = (targets + [targets[0]] * B)[:B]
+            poses = np.stack([db.kf_pose_cw[nb] for nb in nb_list]).astype(
+                np.float32)
+            dn = [self._kf_dev(nb) for nb in nb_list]
+            kvals = np.stack([db.kf_kpt_valid[nb] for nb in nb_list])
+            kvals[len(targets):] = False                  # padding neighbors
+            klvls = np.stack([db.kf_level[nb] for nb in nb_list])
         idx_all = np.asarray(TO.fuse_candidates_multi(
             self.cam, jnp.asarray(poses),
             jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
@@ -379,32 +409,36 @@ class MappingModule:
             jnp.asarray(pred),
         )[0])
         touched = set()
-        for b, nb in enumerate(targets):
-            idx = idx_all[b]
-            for j in np.where(idx >= 0)[0]:
-                if j >= n:
+        with self._lock():
+            if not db.kf_valid[kf]:
+                return
+            for b, nb in enumerate(targets):
+                if not db.kf_valid[nb]:
                     continue
-                lm = int(lm_ids[j])
-                if not db.lm_valid[lm]:
-                    continue
-                kpt = int(idx[j])
-                other = int(db.kf_lm_idx[nb][kpt])
-                if other >= 0 and db.lm_valid[other]:
-                    if other != lm:
-                        # merge the one with fewer observations into the other
-                        if db.lm_num_obs[lm] >= db.lm_num_obs[other]:
-                            db.replace_landmark(other, lm)
-                        else:
-                            db.replace_landmark(lm, other)
-                else:
-                    db.add_observation(lm, nb, kpt)
-                    touched.add(lm)
-        # representative descriptors once per touched landmark (a landmark
-        # fused into several keyframes was recomputing its median each time)
-        for lm in touched:
-            if db.lm_valid[lm]:
-                db.update_landmark_descriptor(lm)
-        db.update_connections(kf)
+                idx = idx_all[b]
+                for j in np.where(idx >= 0)[0]:
+                    if j >= n:
+                        continue
+                    lm = int(lm_ids[j])
+                    if not db.lm_valid[lm]:
+                        continue
+                    kpt = int(idx[j])
+                    other = int(db.kf_lm_idx[nb][kpt])
+                    if other >= 0 and db.lm_valid[other]:
+                        if other != lm:
+                            # merge the one with fewer observations in
+                            if db.lm_num_obs[lm] >= db.lm_num_obs[other]:
+                                db.replace_landmark(other, lm)
+                            else:
+                                db.replace_landmark(lm, other)
+                    else:
+                        db.add_observation(lm, nb, kpt)
+                        touched.add(lm)
+            # representative descriptors once per touched landmark
+            for lm in touched:
+                if db.lm_valid[lm]:
+                    db.update_landmark_descriptor(lm)
+            db.update_connections(kf)
 
     # ------------------------------------------------------------------
     # local BA (ref optimize/local_bundle_adjuster)

@@ -60,6 +60,9 @@ def _reloc_stage1(key, d_f, v_f, brg_f, words_f,
     return jax.vmap(one)(keys, kf_desc_u32, kf_words, kf_ok, kf_pts)
 
 
+RELOC_CAND_CAP = 16   # fixed stage-1 candidate padding (>= the BoW cap of 10)
+
+
 class Relocalizer:
     def __init__(self, cfg, cam, map_db, bow_db, min_inliers: int = 40):
         self.cfg = cfg
@@ -75,15 +78,37 @@ class Relocalizer:
         self.num_levels = nl
         self.key = jax.random.PRNGKey(17)
 
+    def prewarm(self, K: int):
+        """Compile stage 1 at the fixed candidate padding with dummy data —
+        the first real mid-run relocalization then pays no compile inside
+        the tracking loop.  Run on the background prewarm thread."""
+        key = jax.random.PRNGKey(0)
+        words = np.zeros(K, np.int32)
+        _reloc_stage1(
+            key, jnp.zeros((K, 256), jnp.int8), jnp.zeros(K, bool),
+            jnp.zeros((K, 3), jnp.float32),
+            jnp.asarray(self.bow_db.gate_words(words)),
+            jnp.zeros((RELOC_CAND_CAP, K, 8), jnp.uint32),
+            jnp.zeros((RELOC_CAND_CAP, K), jnp.int32),
+            jnp.zeros((RELOC_CAND_CAP, K), bool),
+            jnp.zeros((RELOC_CAND_CAP, K, 3), jnp.float32),
+        )[1].block_until_ready()
+
     def relocalize(self, frame) -> Optional[np.ndarray]:
         words = self.bow_db.compute_words(frame.desc_i8, frame.valid)
         cands = self.bow_db.acquire_relocalization_candidates(words)
         if not cands:
             return None
         db = self.db
-        # pad the candidate axis to a power of two (bounds recompiles)
+        # FIXED candidate-axis padding: acquire_relocalization_candidates
+        # caps at 10, so one static shape covers every call — the first
+        # mid-run relocalization must not pay a fresh bucket compile inside
+        # the tracking loop (r3 city run: 36 s max_track_ms was this), and a
+        # constant shape is prewarmable at startup.  The vmapped overpadding
+        # costs device compute only (~ms), never a compile.
         C = len(cands)
-        Cp = max(2, 1 << int(np.ceil(np.log2(C))))
+        Cp = RELOC_CAND_CAP if C <= RELOC_CAND_CAP else \
+            1 << int(np.ceil(np.log2(C)))
         padded = list(cands) + [cands[0]] * (Cp - C)
         Kf = db.kf_desc_u32[int(cands[0])].shape[0]
         kf_desc = np.zeros((Cp, Kf, 8), np.uint32)

@@ -132,6 +132,15 @@ class System:
         _log.info("system startup (%s, %dx%d, %s mapping)",
                   self.cam.setup.name.lower(), self.cam.cols, self.cam.rows,
                   "async" if self._async else "sync")
+        # compile the cold-path programs (relocalization stage 1) in the
+        # background so their first mid-run use pays no compile stall
+        # (utils.prewarm; disabled under OPENVSLAM_TPU_PREWARM=0)
+        if self.global_optimizer is not None:
+            from .utils.prewarm import prewarmer
+            reloc = self.global_optimizer.relocalizer
+            K = self.frontend.capacity
+            prewarmer().submit(f"reloc_stage1_K{K}",
+                               lambda: reloc.prewarm(K))
 
     def shutdown(self):
         if self._async and isinstance(self._tracker_mapper, _AsyncMapperProxy):
@@ -597,6 +606,10 @@ class System:
             "fps": float(1.0 / max(np.median(tt), 1e-9)),
             "fused_frames": self._fused_frames,
             "local_ba_runs": self.mapper.ba_runs,
+            # unlocked mapping results discarded because a whole-map
+            # geometry rewrite landed mid-flight (versioned application)
+            "stale_discards": self.mapper.stale_discards,
+            "pred_hist_misses": self.tracker.pred_hist_misses,
             "ba_iters_per_s": (
                 self.mapper.ba_iters_total / self.mapper.ba_wall_s
                 if self.mapper.ba_wall_s > 0 else 0.0),

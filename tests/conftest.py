@@ -13,6 +13,11 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
 
+# background bucket pre-warming (utils.prewarm) would contend with the
+# 2-core CI hosts and add nondeterministic compile threads; CPU compiles
+# are cheap enough that tests never need it
+os.environ.setdefault("OPENVSLAM_TPU_PREWARM", "0")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
