@@ -97,6 +97,14 @@ class MapDatabase:
         # monotonically increasing mutation counter: device-side caches
         # (e.g. the tracker's local-map mirror) key on this
         self.version = 0
+        # geometry-rewrite counter: bumped ONLY when existing poses/landmark
+        # positions move wholesale (global-BA writeback, pose-graph
+        # correction, loop Sim3 propagation).  Mapping's unlocked
+        # triangulate/fuse device calls snapshot this and DISCARD their
+        # results if it moved — triangulations computed against pre-rewrite
+        # poses must not be applied to a rewritten map (the r3
+        # revalidation-only attempt corrupted async map quality)
+        self.geom_version = 0
 
         # --- camera database (ref data/camera_database): name -> spec dict
         # (serializable; camera_from spec via camera.base factory) plus the

@@ -47,6 +47,9 @@ class GlobalOptimizationModule:
         self.num_loops_closed = 0
         self.abort_global_ba = False
         self.last_loop_kf = -1
+        # loop-detection event log for precision/recall measurement
+        # (tools/loop_pr.py): ("cand"|"valid", kf, cand) per stage
+        self.loop_events: list = []
         self.loop_enabled = cfg.loop.enabled
         # background global BA (ref: loop closure spawns a BA thread and
         # propagates keyframes/landmarks born while it ran)
@@ -74,6 +77,7 @@ class GlobalOptimizationModule:
             return
         candidates = self.loop_detector.detect(kf)
         for cand in candidates:
+            self.loop_events.append(("cand", kf, cand))
             # full inlier gate (ref: ~min_num_valid_obs after the transform
             # optimization); reachable because validate() now widens the BoW
             # matches with the Sim3-warped projection search
@@ -82,6 +86,7 @@ class GlobalOptimizationModule:
             )
             if out is None:
                 continue
+            self.loop_events.append(("valid", kf, cand))
             R, t, s, mk, mc, lms_k, lms_c = out
             _log.info("loop detected: keyframe %d <-> %d (scale %.3f); "
                       "correcting", kf, cand, float(s))
@@ -204,6 +209,7 @@ class GlobalOptimizationModule:
             db.kf_pose_cw[k2] = np.asarray(
                 sim3_ops.to_se3(*g_new), np.float32
             )
+        db.geom_version += 1
 
         # merge the directly matched duplicate landmark pairs
         for lk, lc in zip(lms_k, lms_c):
@@ -328,6 +334,7 @@ class GlobalOptimizationModule:
             db.lm_pos[lms] = Xw.astype(np.float32)
         for k in index:
             db.kf_pose_cw[k] = T_new[k]
+        db.geom_version += 1
         # covisibility weights depend only on shared observations, which the
         # pose graph does not change — no update_connections pass needed
 
@@ -521,3 +528,4 @@ def apply_ba_writeback(db, cam_index, lm_index, cam_opt, T_new, X_new):
         db.lm_pos[lm] = (Tn[:3, :3].T @ (Xc - Tn[:3, 3])).astype(np.float32)
     for k, Tk in new_pose.items():
         db.kf_pose_cw[k] = Tk.astype(np.float32)
+    db.geom_version += 1

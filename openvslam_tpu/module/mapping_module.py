@@ -58,6 +58,9 @@ class MappingModule:
         self.ba_wall_s = 0.0
         self.lms_culled = 0
         self.kfs_culled = 0
+        # unlocked-stage results discarded because a whole-map geometry
+        # rewrite landed while the device call was in flight
+        self.stale_discards = 0
         self.lms_created = 0
         # per-phase wall-clock accumulators for the KF-insertion pipeline
         self.phase_s: dict = {}
@@ -304,6 +307,7 @@ class MappingModule:
             dn = [self._kf_dev(nb) for nb in nb_list]
             poses_nb = np.stack([db.kf_pose_cw[nb] for nb in nb_list]).astype(
                 np.float32)
+            geom_v = db.geom_version
         idx_all, X_all, ok_all = TO.triangulation_candidates_multi(
             self.cam,
             jnp.asarray(T1, jnp.float32),
@@ -325,6 +329,16 @@ class MappingModule:
         ok_all = np.asarray(ok_all)
         with self._lock():
             if not db.kf_valid[kf]:
+                return
+            if db.geom_version != geom_v:
+                # a whole-map geometry rewrite (global BA / pose graph /
+                # loop correction) landed while the call was in flight:
+                # the triangulated positions belong to the OLD geometry —
+                # discard wholesale (versioned application; the r3
+                # revalidate-only variant kept them and corrupted the map)
+                self.stale_discards += 1
+                _log.debug("triangulation results for KF %d discarded "
+                           "(map geometry moved in flight)", kf)
                 return
             born = []
             for b, nb in enumerate(usable):
@@ -399,6 +413,7 @@ class MappingModule:
             kvals = np.stack([db.kf_kpt_valid[nb] for nb in nb_list])
             kvals[len(targets):] = False                  # padding neighbors
             klvls = np.stack([db.kf_level[nb] for nb in nb_list])
+            geom_v = db.geom_version
         idx_all = np.asarray(TO.fuse_candidates_multi(
             self.cam, jnp.asarray(poses),
             jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
@@ -411,6 +426,14 @@ class MappingModule:
         touched = set()
         with self._lock():
             if not db.kf_valid[kf]:
+                return
+            if db.geom_version != geom_v:
+                # geometry rewrite in flight — the projections that matched
+                # were computed against the old poses; discard (versioned
+                # application, see create_new_landmarks)
+                self.stale_discards += 1
+                _log.debug("fusion results for KF %d discarded (map "
+                           "geometry moved in flight)", kf)
                 return
             for b, nb in enumerate(targets):
                 if not db.kf_valid[nb]:
@@ -444,10 +467,10 @@ class MappingModule:
     # local BA (ref optimize/local_bundle_adjuster)
     # ------------------------------------------------------------------
     def _run_local_ba(self, kf: int):
-        import contextlib
-        lock = self.map_lock if self.map_lock is not None else contextlib.nullcontext()
+        lock = self._lock()
         with lock:
             built = self._build_ba_problem(kf)
+            geom_v = self.db.geom_version
         if built is None:
             return
         prob, cam_index, lm_index, cam_opt, obs_refs, n_obs, lm_ids, multicam = built
@@ -459,6 +482,13 @@ class MappingModule:
         self.ba_iters_total += self.ba_first_iters + self.ba_second_iters
         self.ba_wall_s += _time.perf_counter() - _t0
         with lock:
+            if self.db.geom_version != geom_v:
+                # optimized against pre-rewrite geometry — discard rather
+                # than clobber the loop correction / global BA that landed
+                self.stale_discards += 1
+                _log.debug("local BA result for KF %d discarded (map "
+                           "geometry moved in flight)", kf)
+                return
             self._apply_ba_result(res, cam_index, lm_index, cam_opt,
                                   obs_refs, n_obs, lm_ids)
             self.db.version += 1
