@@ -151,132 +151,138 @@ class MultiSessionRunner:
 
     # ------------------------------------------------------------------
     def snapshot_problem(self) -> Optional[dict]:
-        """Pool every session's map into one padded BAProblem.
+        return pool_sessions(self.systems)
 
-        Camera slots are concatenated per session (origin keyframes fixed for
-        gauge); landmark slots concatenated; observations carry per-obs
-        intrinsics when the sessions' cameras differ.  Taken under each
-        session's map lock.  Returns None if the pooled map is too small.
-        """
-        snaps = []
-        cam_specs = set()
-        all_stereo = all(s.cam.setup != SetupType.MONOCULAR for s in self.systems)
-        for s in self.systems:
-            with s.map_lock:
-                db = s.map_db
-                kf_ids = [int(k) for k in db.valid_kf_ids()]
-                lm_ids = [int(l) for l in db.valid_lm_ids()]
-                snap = {
-                    "sys": s,
-                    "kf_ids": kf_ids,
-                    "lm_ids": lm_ids,
-                    "kf_pose": {k: db.kf_pose_cw[k].copy() for k in kf_ids},
-                    "lm_pos": {l: db.lm_pos[l].copy() for l in lm_ids},
-                    "obs": [],
-                    "origin": db.origin_kf,
-                }
-                # vectorized gather from the flat observation table (rows
-                # whose landmark AND keyframe are both live)
-                sigma2 = s.global_optimizer.sigma2
-                t_lm, t_kf, t_kpt, t_u, t_v, t_xr, t_lvl = \
-                    db.observation_rows()
-                live = (t_lm >= 0) & db.kf_valid[np.clip(t_kf, 0, None)]
-                rows = np.where(live)[0]
-                snap["obs"] = {
-                    "kf": t_kf[rows].copy(), "lm": t_lm[rows].copy(),
-                    "u": t_u[rows].copy(), "v": t_v[rows].copy(),
-                    "sg": sigma2[np.clip(t_lvl[rows], 0,
-                                         len(sigma2) - 1)].astype(np.float32),
-                    "xr": (t_xr[rows].copy() if all_stereo
-                           else np.full(len(rows), -1.0, np.float32)),
-                }
-                snaps.append(snap)
-            spec = camera_to_config(s.cam)
-            cam_specs.add(tuple(sorted(
-                (k, v) for k, v in spec.items() if not isinstance(v, (list, dict))
-            )))
 
-        n_c = sum(len(sn["kf_ids"]) for sn in snaps)
-        n_l = sum(len(sn["lm_ids"]) for sn in snaps)
-        n_o = sum(len(sn["obs"]["kf"]) for sn in snaps)
-        if n_c < 3 or n_l < 30 or n_o < 60:
-            return None
-        multicam = len(cam_specs) > 1
-        # stereo edges (u, v, u_right) only when every session is stereo/RGBD
-        # and they share one camera (the multicam edge is monocular)
-        stereo = all_stereo and not multicam
+def pool_sessions(systems: Sequence) -> Optional[dict]:
+    """Pool every session's map into one padded BAProblem.
 
-        C = max(8, 1 << int(np.ceil(np.log2(n_c))))
-        L = max(64, 1 << int(np.ceil(np.log2(n_l))))
-        O = max(256, 1 << int(np.ceil(np.log2(n_o))))
-        D = 2 + R.CAMV_DIM if multicam else (3 if stereo else 2)
+    Camera slots are concatenated per session (origin keyframes fixed for
+    gauge); landmark slots concatenated; observations carry per-obs
+    intrinsics when the sessions' cameras differ.  Taken under each
+    session's map lock.  Returns None if the pooled map is too small.
+    Module-level so the multihost pool (multi_session_multihost) reuses the
+    same pooling for its per-process half of the problem.
+    """
+    snaps = []
+    cam_specs = set()
+    all_stereo = all(s.cam.setup != SetupType.MONOCULAR for s in systems)
+    for s in systems:
+        with s.map_lock:
+            db = s.map_db
+            kf_ids = [int(k) for k in db.valid_kf_ids()]
+            lm_ids = [int(l) for l in db.valid_lm_ids()]
+            snap = {
+                "sys": s,
+                "kf_ids": kf_ids,
+                "lm_ids": lm_ids,
+                "kf_pose": {k: db.kf_pose_cw[k].copy() for k in kf_ids},
+                "lm_pos": {l: db.lm_pos[l].copy() for l in lm_ids},
+                "obs": [],
+                "origin": db.origin_kf,
+            }
+            # vectorized gather from the flat observation table (rows
+            # whose landmark AND keyframe are both live)
+            sigma2 = s.global_optimizer.sigma2
+            t_lm, t_kf, t_kpt, t_u, t_v, t_xr, t_lvl = \
+                db.observation_rows()
+            live = (t_lm >= 0) & db.kf_valid[np.clip(t_kf, 0, None)]
+            rows = np.where(live)[0]
+            snap["obs"] = {
+                "kf": t_kf[rows].copy(), "lm": t_lm[rows].copy(),
+                "u": t_u[rows].copy(), "v": t_v[rows].copy(),
+                "sg": sigma2[np.clip(t_lvl[rows], 0,
+                                     len(sigma2) - 1)].astype(np.float32),
+                "xr": (t_xr[rows].copy() if all_stereo
+                       else np.full(len(rows), -1.0, np.float32)),
+            }
+            snaps.append(snap)
+        spec = camera_to_config(s.cam)
+        cam_specs.add(tuple(sorted(
+            (k, v) for k, v in spec.items() if not isinstance(v, (list, dict))
+        )))
 
-        T = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
-        cam_opt = np.zeros(C, bool)
-        cam_valid = np.zeros(C, bool)
-        X = np.zeros((L, 3), np.float32)
-        lm_valid = np.zeros(L, bool)
-        oc = np.zeros(O, np.int32)
-        ol = np.zeros(O, np.int32)
-        ouv = np.zeros((O, D), np.float32)
-        osg = np.ones(O, np.float32)
-        om = np.zeros(O, bool)
+    n_c = sum(len(sn["kf_ids"]) for sn in snaps)
+    n_l = sum(len(sn["lm_ids"]) for sn in snaps)
+    n_o = sum(len(sn["obs"]["kf"]) for sn in snaps)
+    if n_c < 3 or n_l < 30 or n_o < 60:
+        return None
+    multicam = len(cam_specs) > 1
+    # stereo edges (u, v, u_right) only when every session is stereo/RGBD
+    # and they share one camera (the multicam edge is monocular)
+    stereo = all_stereo and not multicam
 
-        cam_off = 0
-        lm_off = 0
-        n_obs = 0
-        per_session = []
-        for sn in snaps:
-            cam_index = {k: cam_off + i for i, k in enumerate(sn["kf_ids"])}
-            lm_index = {l: lm_off + i for i, l in enumerate(sn["lm_ids"])}
-            camv = R.make_camv(camera_to_config(sn["sys"].cam)) if multicam else None
-            for k, i in cam_index.items():
-                T[i] = sn["kf_pose"][k]
-                cam_valid[i] = True
-                cam_opt[i] = k != sn["origin"]
-            for l, i in lm_index.items():
-                X[i] = sn["lm_pos"][l]
-                lm_valid[i] = True
-            ob = sn["obs"]
-            db = sn["sys"].map_db
-            cam_lookup = np.full(db.n_kfs, -1, np.int32)
-            for k, i in cam_index.items():
-                cam_lookup[k] = i
-            lm_lookup = np.full(db.n_lms, -1, np.int32)
-            for l, i in lm_index.items():
-                lm_lookup[l] = i
-            oc_s = cam_lookup[np.clip(ob["kf"], 0, db.n_kfs - 1)]
-            ol_s = lm_lookup[np.clip(ob["lm"], 0, db.n_lms - 1)]
-            sel = np.where((oc_s >= 0) & (ol_s >= 0))[0][: O - n_obs]
-            m = len(sel)
-            sl = slice(n_obs, n_obs + m)
-            oc[sl] = oc_s[sel]
-            ol[sl] = ol_s[sel]
-            ouv[sl, 0] = ob["u"][sel]
-            ouv[sl, 1] = ob["v"][sel]
-            if multicam:
-                ouv[sl, 2:] = camv
-            elif stereo:
-                ouv[sl, 2] = ob["xr"][sel]
-            osg[sl] = ob["sg"][sel]
-            om[sl] = True
-            n_obs += m
-            per_session.append({
-                "sys": sn["sys"], "cam_index": cam_index, "lm_index": lm_index,
-            })
-            cam_off += len(sn["kf_ids"])
-            lm_off += len(sn["lm_ids"])
+    C = max(8, 1 << int(np.ceil(np.log2(n_c))))
+    L = max(64, 1 << int(np.ceil(np.log2(n_l))))
+    O = max(256, 1 << int(np.ceil(np.log2(n_o))))
+    D = 2 + R.CAMV_DIM if multicam else (3 if stereo else 2)
 
-        prob = BAProblem(
-            jnp.asarray(T), jnp.asarray(cam_opt), jnp.asarray(cam_valid),
-            jnp.asarray(X), jnp.asarray(lm_valid),
-            jnp.asarray(oc), jnp.asarray(ol), jnp.asarray(ouv),
-            jnp.asarray(osg), jnp.asarray(om),
-        )
-        return {
-            "prob": prob, "per_session": per_session, "multicam": multicam,
-            "stereo": stereo, "cam_opt": cam_opt, "shapes": (C, L, O, D),
-        }
+    T = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    cam_opt = np.zeros(C, bool)
+    cam_valid = np.zeros(C, bool)
+    X = np.zeros((L, 3), np.float32)
+    lm_valid = np.zeros(L, bool)
+    oc = np.zeros(O, np.int32)
+    ol = np.zeros(O, np.int32)
+    ouv = np.zeros((O, D), np.float32)
+    osg = np.ones(O, np.float32)
+    om = np.zeros(O, bool)
+
+    cam_off = 0
+    lm_off = 0
+    n_obs = 0
+    per_session = []
+    for sn in snaps:
+        cam_index = {k: cam_off + i for i, k in enumerate(sn["kf_ids"])}
+        lm_index = {l: lm_off + i for i, l in enumerate(sn["lm_ids"])}
+        camv = R.make_camv(camera_to_config(sn["sys"].cam)) if multicam else None
+        for k, i in cam_index.items():
+            T[i] = sn["kf_pose"][k]
+            cam_valid[i] = True
+            cam_opt[i] = k != sn["origin"]
+        for l, i in lm_index.items():
+            X[i] = sn["lm_pos"][l]
+            lm_valid[i] = True
+        ob = sn["obs"]
+        db = sn["sys"].map_db
+        cam_lookup = np.full(db.n_kfs, -1, np.int32)
+        for k, i in cam_index.items():
+            cam_lookup[k] = i
+        lm_lookup = np.full(db.n_lms, -1, np.int32)
+        for l, i in lm_index.items():
+            lm_lookup[l] = i
+        oc_s = cam_lookup[np.clip(ob["kf"], 0, db.n_kfs - 1)]
+        ol_s = lm_lookup[np.clip(ob["lm"], 0, db.n_lms - 1)]
+        sel = np.where((oc_s >= 0) & (ol_s >= 0))[0][: O - n_obs]
+        m = len(sel)
+        sl = slice(n_obs, n_obs + m)
+        oc[sl] = oc_s[sel]
+        ol[sl] = ol_s[sel]
+        ouv[sl, 0] = ob["u"][sel]
+        ouv[sl, 1] = ob["v"][sel]
+        if multicam:
+            ouv[sl, 2:] = camv
+        elif stereo:
+            ouv[sl, 2] = ob["xr"][sel]
+        osg[sl] = ob["sg"][sel]
+        om[sl] = True
+        n_obs += m
+        per_session.append({
+            "sys": sn["sys"], "cam_index": cam_index, "lm_index": lm_index,
+        })
+        cam_off += len(sn["kf_ids"])
+        lm_off += len(sn["lm_ids"])
+
+    prob = BAProblem(
+        jnp.asarray(T), jnp.asarray(cam_opt), jnp.asarray(cam_valid),
+        jnp.asarray(X), jnp.asarray(lm_valid),
+        jnp.asarray(oc), jnp.asarray(ol), jnp.asarray(ouv),
+        jnp.asarray(osg), jnp.asarray(om),
+    )
+    return {
+        "prob": prob, "per_session": per_session, "multicam": multicam,
+        "stereo": stereo, "cam_opt": cam_opt, "shapes": (C, L, O, D),
+    }
 
     def joint_bundle_adjust(self, iters: int = 10) -> Optional[float]:
         """Snapshot -> sharded solve over the mesh -> write back.
