@@ -215,7 +215,10 @@ class LoopDetector:
                 jnp.asarray(db.kf_xy_undist[dst]),
                 jnp.asarray(db.kf_level[dst].astype(np.int32)),
                 jnp.asarray(b_valid),
-                max_dist=M.HAMMING_DIST_THR_LOW, cross_check=True,
+                # the reference's Sim3 search runs at the HIGH threshold
+                # (drifted descriptors): precision comes from the mutual
+                # agreement below + the transform optimizer's chi2 gate
+                max_dist=M.HAMMING_DIST_THR_HIGH, cross_check=True,
             )
             return np.asarray(idx)
 

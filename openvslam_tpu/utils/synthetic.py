@@ -544,3 +544,63 @@ class PatchSceneRenderer:
             tex = self.textures[i]
             img[y0:y1, x0:x1] = tex[ty0:ty0 + (y1 - y0), tx0:tx0 + (x1 - x0)]
         return img
+
+
+class Photometrics:
+    """Per-frame photometric degradation for any renderer's u8 output —
+    the validation hardener VERDICT r3 asked for (missing #5's buildable
+    half): the clean renderer statistics make every acceptance number
+    optimistic; real sensors drift exposure, add shot noise, and smear
+    under motion.  Wraps a rendered image:
+
+        photo = Photometrics(rng, exposure_drift=0.06, noise_sigma=4.0,
+                             motion_blur_px=5)
+        img = photo(renderer.render(cam, pose))
+
+    * exposure: multiplicative gain follows a clamped random walk (step
+      sigma ``exposure_drift`` per frame, gain in [0.4, 2.0]) — models
+      auto-exposure hunting / lighting change between revisits.
+    * noise: additive Gaussian, sigma in gray levels (shot/read noise).
+    * motion blur: length-``motion_blur_px`` line kernel along ``direction``
+      (default horizontal — panning-dominant motion); odd lengths center
+      the kernel.
+    All stages operate in float and re-quantize to u8 (sensor semantics).
+    """
+
+    def __init__(self, rng: np.random.Generator, exposure_drift: float = 0.0,
+                 noise_sigma: float = 0.0, motion_blur_px: int = 0,
+                 direction: str = "h"):
+        self.rng = rng
+        self.exposure_drift = float(exposure_drift)
+        self.noise_sigma = float(noise_sigma)
+        self.motion_blur_px = int(motion_blur_px)
+        self.direction = direction
+        self.gain = 1.0
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        x = img.astype(np.float32)
+        if self.motion_blur_px > 1:
+            k = self.motion_blur_px
+            axis = 1 if self.direction == "h" else 0
+            pad = [(0, 0), (0, 0)]
+            pad[axis] = (k // 2, k - 1 - k // 2)
+            xp = np.pad(x, pad, mode="edge")
+            # windowed mean via cumsum with a leading zero slab:
+            # sum over xp[i:i+k] = c[i+k] - c[i]
+            zshape = list(xp.shape)
+            zshape[axis] = 1
+            c = np.concatenate(
+                [np.zeros(zshape), np.cumsum(xp, axis=axis,
+                                             dtype=np.float64)], axis=axis)
+            if axis == 1:
+                x = ((c[:, k:] - c[:, :-k]) / k).astype(np.float32)
+            else:
+                x = ((c[k:, :] - c[:-k, :]) / k).astype(np.float32)
+        if self.exposure_drift > 0:
+            self.gain = float(np.clip(
+                self.gain + self.rng.normal(0.0, self.exposure_drift),
+                0.4, 2.0))
+            x = x * self.gain
+        if self.noise_sigma > 0:
+            x = x + self.rng.normal(0.0, self.noise_sigma, x.shape)
+        return np.clip(np.round(x), 0, 255).astype(np.uint8)

@@ -1,0 +1,170 @@
+"""Loop-detector precision/recall measurement (r3 verdict weak #7: loop
+recall and false-positive behavior were not measured anywhere).
+
+Runs a multi-lap stereo circuit with the loop detector ON, records every
+candidate/validated pair from GlobalOptimizationModule.loop_events, and
+scores them against ground truth:
+
+* a validated pair (kf, cand) is TRUE when the ground-truth camera centers
+  at the two keyframes' timestamps are within --dist-thr meters and their
+  headings within --angle-thr degrees (same-place, same-direction revisit);
+* precision = true validated pairs / validated pairs;
+* recall    = revisit keyframes (gt within --dist-thr of a >=min-gap-older
+  keyframe) for which a validated loop fired within +-5 keyframes.
+
+Scenes: "room" (octagon lap, aliased wall textures by construction) or
+"city" (CityCourseRenderer circuit — repeated building-texture octaves are
+the perceptual-aliasing stress the r3 false-reloc incident hit).
+
+    PYTHONPATH= JAX_PLATFORMS=cpu python tools/loop_pr.py --scene room \
+        --frames 400 --laps 2.2
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def heading(T_cw):
+    """Camera forward axis in world coords."""
+    return T_cw[:3, :3].T @ np.array([0.0, 0.0, 1.0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="room", choices=["room", "city"])
+    ap.add_argument("--frames", type=int, default=400)
+    ap.add_argument("--laps", type=float, default=2.2)
+    ap.add_argument("--dist-thr", type=float, default=3.0)
+    ap.add_argument("--angle-thr", type=float, default=45.0)
+    ap.add_argument("--min-gap", type=int, default=60,
+                    help="min frame gap for a revisit to count")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    from openvslam_tpu.config import Config
+    from openvslam_tpu.system import System
+    from openvslam_tpu.utils import synthetic
+
+    rng = np.random.default_rng(11)
+    BASELINE = 0.12
+    if args.scene == "room":
+        rows, cols = 240, 320
+        fx = 260.0
+        scene = synthetic.RoomSceneRenderer(rng, half=10.0, rows=rows,
+                                            cols=cols, n_walls=8)
+        poses_gt = synthetic.lap_trajectory(
+            args.frames, radius=6.0, laps=args.laps)
+        render = scene.render
+    else:
+        rows, cols = 320, 416
+        fx = 350.0
+        course = synthetic.RoundedRectCourse(straight=60.0, corner_r=12.0)
+        scene = synthetic.CityCourseRenderer(rng, course)
+        poses_gt = synthetic.course_trajectory(course, args.frames,
+                                               laps=args.laps)
+        render = scene.render
+    cfg = Config.from_dict({
+        "Camera": {
+            "name": "synthetic", "setup": "stereo", "model": "perspective",
+            "fx": fx, "fy": fx, "cx": cols / 2, "cy": rows / 2,
+            "cols": cols, "rows": rows, "fps": 20,
+            "focal_x_baseline": fx * BASELINE, "depth_threshold": 40.0,
+        },
+        "Feature": {"max_num_keypts": 500, "num_levels": 3,
+                    "scale_factor": 1.2},
+        "LoopDetector": {"enabled": True, "min_continuity": 2},
+    })
+    cam = cfg.camera
+    shift = np.eye(4)
+    shift[0, 3] = -BASELINE
+
+    s = System(cfg, vocab_path="default")
+    s.startup()
+    for i in range(args.frames):
+        l_img = render(cam, poses_gt[i])
+        r_img = render(cam, shift @ poses_gt[i])
+        s.feed_stereo_frame(l_img, r_img, i / 20.0)
+    s.shutdown()
+
+    db = s.map_db
+    go = s.global_optimizer
+    # keyframe -> ground-truth frame index via timestamp
+    gt_of_kf = {}
+    for k in db.valid_kf_ids():
+        k = int(k)
+        gt_of_kf[k] = int(round(db.kf_timestamp[k] * 20.0))
+    # some validated KFs may have been culled since; use every event KF id
+    # that still maps (events store ids at fire time)
+    all_event_kfs = {k for _, a, b in go.loop_events for k in (a, b)}
+    for k in all_event_kfs:
+        if k not in gt_of_kf and 0 <= k < db.n_kfs:
+            ts = db.kf_timestamp[k]
+            if ts > 0:
+                gt_of_kf[k] = int(round(ts * 20.0))
+
+    def centers(i):
+        T = poses_gt[i]
+        return -T[:3, :3].T @ T[:3, 3]
+
+    def is_true_pair(a, b):
+        ia, ib = gt_of_kf.get(a), gt_of_kf.get(b)
+        if ia is None or ib is None:
+            return None
+        if abs(ia - ib) < args.min_gap:
+            return False
+        d = np.linalg.norm(centers(ia) - centers(ib))
+        ha, hb = heading(poses_gt[ia]), heading(poses_gt[ib])
+        ang = np.degrees(np.arccos(np.clip(ha @ hb, -1, 1)))
+        return bool(d < args.dist_thr and ang < args.angle_thr)
+
+    cands = [(a, b) for t, a, b in go.loop_events if t == "cand"]
+    valids = [(a, b) for t, a, b in go.loop_events if t == "valid"]
+    v_truth = [is_true_pair(a, b) for a, b in valids]
+    v_known = [t for t in v_truth if t is not None]
+    precision = (sum(v_known) / len(v_known)) if v_known else None
+
+    # recall over revisit keyframes
+    kf_list = sorted(gt_of_kf.items())
+    valid_kf_set = {a for a, _ in valids}
+    revisits = 0
+    hits = 0
+    for idx, (k, gi) in enumerate(kf_list):
+        prior = [(k2, g2) for k2, g2 in kf_list
+                 if g2 <= gi - args.min_gap]
+        if not prior:
+            continue
+        dists = [np.linalg.norm(centers(gi) - centers(g2))
+                 for _, g2 in prior]
+        if min(dists) < args.dist_thr:
+            revisits += 1
+            near = [kf_list[j][0] for j in
+                    range(max(0, idx - 5), min(len(kf_list), idx + 6))]
+            if any(k2 in valid_kf_set for k2 in near):
+                hits += 1
+    recall = hits / revisits if revisits else None
+
+    report = {
+        "scene": args.scene, "frames": args.frames, "laps": args.laps,
+        "keyframes": int(len(db.valid_kf_ids())),
+        "loop_candidates": len(cands),
+        "loops_validated": len(valids),
+        "loops_closed": go.num_loops_closed,
+        "validated_true": sum(v_known) if v_known else 0,
+        "validated_false": (len(v_known) - sum(v_known)) if v_known else 0,
+        "precision": precision,
+        "revisit_keyframes": revisits,
+        "recall": recall,
+    }
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
