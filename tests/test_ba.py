@@ -5,6 +5,9 @@ from openvslam_tpu.camera import Perspective
 from openvslam_tpu.optimize.ba import BAProblem, make_local_ba, make_global_ba
 from openvslam_tpu.ops import se3
 from openvslam_tpu.utils import synthetic
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _build_problem(rng, n_cams=8, n_fixed=2, n_lms=300, C=16, L=512, O=4096,

@@ -4,6 +4,8 @@ import pytest
 
 from openvslam_tpu.camera import Perspective, Fisheye, Equirectangular
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture
 def persp():

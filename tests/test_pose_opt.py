@@ -5,6 +5,9 @@ from openvslam_tpu.camera import Perspective
 from openvslam_tpu.optimize.pose_optimizer import make_pose_optimizer
 from openvslam_tpu.ops import se3
 from openvslam_tpu.utils import synthetic
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _setup(rng, n=200):

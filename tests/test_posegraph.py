@@ -6,6 +6,9 @@ from openvslam_tpu.optimize.pose_graph import PoseGraphProblem, make_pose_graph_
 from openvslam_tpu.optimize.sim3_transform import make_sim3_transform_optimizer
 from openvslam_tpu.camera import Perspective
 from openvslam_tpu.utils import synthetic
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _ring_of_poses(n, radius=5.0):

@@ -4,6 +4,9 @@ the real solver call hits."""
 import numpy as np
 
 from openvslam_tpu.utils.prewarm import Prewarmer
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_prewarmer_dedupes_and_runs():

@@ -3,6 +3,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from openvslam_tpu.ops import se3
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_exp_log_roundtrip(rng):

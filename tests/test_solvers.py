@@ -4,6 +4,9 @@ import numpy as np
 
 from openvslam_tpu.ops import ransac, solvers, triangulate
 from openvslam_tpu.utils import synthetic
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _two_view_scene(rng, n=200, n_out=40, planar=False):
