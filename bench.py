@@ -45,10 +45,13 @@ BASELINE_FPS = 30.0
 
 
 def system_bench():
-    """Full System over a rendered mono orbit sequence: mapping ON in its
-    own worker (async — the reference's 3-thread concurrency contract:
-    tracking never blocks on BA), pipelined feed at depth 3 (hides the
-    tunnel RTT; a colocated host needs depth 1).
+    """Full System over a rendered mono orbit sequence at the REFERENCE's
+    config-1 working point (SURVEY §6 / VERDICT r3 next-#7): 640x480, 1000
+    keypoints, 8 pyramid levels, loop detector ON — apples-to-apples with
+    the reference's 20-40 ms/frame desktop-CPU tracking times.  Mapping ON
+    in its own worker (async — the reference's 3-thread concurrency
+    contract: tracking never blocks on BA), pipelined feed at depth 3
+    (hides the tunnel RTT; a colocated host needs depth 1).
     Returns (fps, ate_sim3_m, tracked_frac, n_keyframes)."""
     from openvslam_tpu.config import Config
     from openvslam_tpu.system import System
@@ -57,18 +60,18 @@ def system_bench():
     cfg = Config.from_dict({
         "Camera": {"name": "bench-mono", "setup": "monocular",
                    "model": "perspective",
-                   "fx": 350.0, "fy": 350.0, "cx": 208.0, "cy": 160.0,
-                   "cols": 416, "rows": 320, "fps": 20},
-        "Feature": {"max_num_keypts": 600, "num_levels": 4,
+                   "fx": 520.0, "fy": 520.0, "cx": 320.0, "cy": 240.0,
+                   "cols": 640, "rows": 480, "fps": 20},
+        "Feature": {"max_num_keypts": 1000, "num_levels": 8,
                     "scale_factor": 1.2},
-        "LoopDetector": {"enabled": False},
+        "LoopDetector": {"enabled": True, "min_continuity": 3},
     })
     cam = cfg.camera
     rng = np.random.default_rng(11)
     scene = synthetic.PatchSceneRenderer(
-        rng, n_points=900, center=(0, 0, 6), extent=(6, 4.5, 2.5),
+        rng, n_points=900, center=(0, 0, 6), extent=(7, 5, 2.5),
         rows=cam.rows, cols=cam.cols)
-    n = 240
+    n = int(os.environ.get("OPENVSLAM_TPU_BENCH_FRAMES", "240"))
     gt = synthetic.orbit_trajectory(n, radius=2.5, target=(0, 0, 6),
                                     arc=np.pi / 3)
     imgs = [scene.render(cam, gt[i]) for i in range(n)]
