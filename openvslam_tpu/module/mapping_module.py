@@ -207,7 +207,14 @@ class MappingModule:
 
     def _seed_landmarks_from_depth(self, frame, kf: int):
         """Stereo/RGBD keyframes seed landmarks from measured depth for
-        unmatched close keypoints (ref keyframe_inserter depth seeding)."""
+        unmatched close keypoints (ref keyframe_inserter depth seeding).
+
+        Deliberately UNCAPPED: the reference's seed-while-<100-close-points
+        budget was tried for churn reduction (r3 weak #5) and collapsed the
+        fast city stress run's tracked fraction 0.775 -> 0.12 — at
+        ~1 m/frame everything leaves the FOV within a few frames, so a
+        dense leading edge is what keeps tracking alive; the ~85% cull rate
+        is the price of that coverage, not waste to optimize away."""
         db = self.db
         thr = getattr(self.cam, "depth_threshold", 40.0)
         has = (
@@ -341,24 +348,42 @@ class MappingModule:
                            "(map geometry moved in flight)", kf)
                 return
             born = []
-            for b, nb in enumerate(usable):
-                if not db.kf_valid[nb]:
+            # second-view confirmation (r3 weak: 89% of created landmarks
+            # died within 2 keyframes — most triangulation/fusion work was
+            # waste).  The multi-neighbor device call already matched every
+            # unmatched keypoint against ALL covisible neighbors, so
+            # requiring agreement from >=2 neighbors costs nothing extra:
+            # only keypoints whose triangulations are confirmed in a second
+            # view become landmarks, and they are born with >=3
+            # observations (immune to the num_obs<=2 age-2 cull).  With a
+            # single usable neighbor (early map) the floor stays 1.
+            need = min(2, len(usable))
+            live_nb = [b for b, nb in enumerate(usable) if db.kf_valid[nb]]
+            hits = np.zeros(idx_all.shape[1], np.int32)
+            for b in live_nb:
+                hits += (ok_all[b] & (idx_all[b] >= 0)).astype(np.int32)
+            for j in np.where(hits >= need)[0]:
+                i1 = int(j)
+                if db.kf_lm_idx[kf][i1] >= 0:
+                    continue          # associated while the call was in flight
+                views = []
+                for b in live_nb:
+                    if ok_all[b][j] and idx_all[b][j] >= 0:
+                        nb, i2 = usable[b], int(idx_all[b][j])
+                        if db.kf_lm_idx[nb][i2] < 0:
+                            views.append((b, nb, i2))
+                if len(views) < need:
                     continue
-                for j in np.where(ok_all[b] & (idx_all[b] >= 0))[0]:
-                    i1, i2 = int(j), int(idx_all[b][j])
-                    # first-wins across neighbors AND against any
-                    # association made while the call was in flight
-                    if db.kf_lm_idx[kf][i1] >= 0 or db.kf_lm_idx[nb][i2] >= 0:
-                        continue
-                    lm = db.add_landmark(
-                        X_all[b][j].astype(np.float32),
-                        db.kf_desc_u32[kf][i1], db.kf_desc_i8[kf][i1], kf,
-                    )
-                    db.add_observation(lm, kf, i1)
+                lm = db.add_landmark(
+                    X_all[views[0][0]][j].astype(np.float32),
+                    db.kf_desc_u32[kf][i1], db.kf_desc_i8[kf][i1], kf,
+                )
+                db.add_observation(lm, kf, i1)
+                for _, nb, i2 in views:
                     db.add_observation(lm, nb, i2)
-                    db.update_landmark_descriptor(lm)
-                    born.append(lm)
-                    self.recent_lms.append((lm, kf))
+                db.update_landmark_descriptor(lm)
+                born.append(lm)
+                self.recent_lms.append((lm, kf))
             self.lms_created += len(born)
             db.update_landmark_geometry_batch(
                 born, self.cfg.feature.scale_factor, self.num_levels)

@@ -105,6 +105,9 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".cache"))
     ap.add_argument("--out", default=None, help="write the JSON report here")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="feed only the first N frames of the cached render "
+                         "(probe mode; cache key still uses --frames)")
     args = ap.parse_args()
 
     from openvslam_tpu.config import Config
@@ -132,6 +135,7 @@ def main():
           f"{course.length * args.laps:.0f} m driven, "
           f"{course.length * args.laps / args.frames:.2f} m/frame")
     left, right = render_sequence(args, cam, scene, poses_gt, args.cache_dir)
+    n_feed = min(args.limit, args.frames) if args.limit else args.frames
 
     vocab = args.vocab
     if vocab is None:
@@ -148,12 +152,12 @@ def main():
         prof.enable()
     t0 = time.time()
     if args.pipeline_depth > 1:
-        items = ((left[i], right[i], i / 10.0) for i in range(args.frames))
+        items = ((left[i], right[i], i / 10.0) for i in range(n_feed))
         for _ in s.feed_sequence(items, kind="stereo",
                                  depth=args.pipeline_depth):
             pass
     else:
-        for i in range(args.frames):
+        for i in range(n_feed):
             s.feed_stereo_frame(left[i], right[i], i / 10.0)
             if i % 200 == 0:
                 st = s.stats()
@@ -186,8 +190,8 @@ def main():
 
     tt = np.array(s.track_times)
     report = {
-        "frames": args.frames,
-        "course_m": round(course.length * args.laps, 1),
+        "frames": n_feed,
+        "course_m": round(course.length * args.laps * n_feed / args.frames, 1),
         "tracked_frac": round(float(mask.mean()), 4),
         "keyframes": st["num_keyframes"],
         "landmarks": st["num_landmarks"],
@@ -195,12 +199,17 @@ def main():
         "ate_se3_frames_m": round(ate_frames, 3),
         "ate_se3_keyframes_m": round(ate_kf, 3),
         "wall_s": round(wall, 1),
-        "system_fps": round(args.frames / wall, 1),
+        "system_fps": round(n_feed / wall, 1),
         "median_track_ms": round(float(np.median(tt) * 1000), 2),
         "p90_track_ms": round(float(np.percentile(tt, 90) * 1000), 2),
         "p99_track_ms": round(float(np.percentile(tt, 99) * 1000), 2),
         "max_track_ms": round(float(tt.max() * 1000), 1),
         "overflow": st["overflow"],
+        "lms_created": s.mapper.lms_created,
+        "lms_culled": s.mapper.lms_culled,
+        "cull_frac": round(s.mapper.lms_culled
+                           / max(s.mapper.lms_created, 1), 3),
+        "stale_discards": st.get("stale_discards", 0),
     }
     print(json.dumps(report, indent=2))
     if args.out:
