@@ -28,6 +28,46 @@ from ..utils.log import get_logger
 _log = get_logger("tracking")
 
 
+def _se3_log(T: np.ndarray) -> np.ndarray:
+    """4x4 rigid transform -> twist (w[3], v[3]) — host-side numpy twin of
+    ops/se3.log_se3 for the per-frame motion model (a jitted call per frame
+    would cost more than the whole prediction)."""
+    R = T[:3, :3].astype(np.float64)
+    t = T[:3, 3].astype(np.float64)
+    cos = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    th = np.arccos(cos)
+    if th < 1e-8:
+        w = 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                            R[1, 0] - R[0, 1]])
+        return np.concatenate([w, t])
+    w = th / (2.0 * np.sin(th)) * np.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]]) / th
+    # V^-1 = I - K*th/2 + (1 - th/(2 tan(th/2))) K^2
+    Vinv = (np.eye(3) - 0.5 * th * K
+            + (1.0 - th / (2.0 * np.tan(th / 2.0))) * (K @ K))
+    return np.concatenate([w, Vinv @ t])
+
+
+def _se3_exp(xi: np.ndarray) -> np.ndarray:
+    """twist (w[3], v[3]) -> 4x4 rigid transform (numpy; see _se3_log)."""
+    w, v = xi[:3], xi[3:]
+    th = np.linalg.norm(w)
+    T = np.eye(4)
+    if th < 1e-8:
+        T[:3, 3] = v
+        T[:3, :3] += np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
+                               [-w[1], w[0], 0]])
+        return T
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    s, c = np.sin(th), np.cos(th)
+    T[:3, :3] = np.eye(3) + s * K + (1 - c) * (K @ K)
+    V = np.eye(3) + (1 - c) / th * K + (th - s) / th * (K @ K)
+    T[:3, 3] = V @ v
+    return T
+
+
 class TrackerState(enum.Enum):
     NOT_INITIALIZED = 0
     TRACKING = 1
@@ -486,13 +526,31 @@ class TrackingModule:
         frames).  Applying the LEAD-frame displacement
         pose(i-1)·pose(i-1-lead)^-1 ONCE errs by ~2·d_{i-1} - d_{i-1-lead}
         — the same noise amplification as the reference's per-frame motion
-        model, hence equally stable at any pipeline depth."""
+        model — and that was still too hot on sustained-yaw trajectories
+        (r3: depth-3 rotating-lap stereo ATE 0.08 -> 1.67 m).  The damped
+        form estimates the average per-frame twist over a WIDER window
+        W ≈ 2·lead in SE3 log space and scales it to ``lead``:
+            xi = log(pose(i-1)·pose(i-1-W)^-1) / W
+            T_pred = exp(lead·xi) · pose(i-1)
+        Exact for constant-twist motion (including steady turns), and the
+        window noise term shrinks from (d_{i-1}-d_{i-1-lead}) to
+        (d_{i-1}-d_{i-1-W})·lead/W — half the amplification at W=2·lead —
+        which is what breaks the prediction->match->estimate feedback loop
+        under rotation (tools/depth_sweep.py measures this)."""
         if lead >= 2:
-            tgt = lf.frame_id - lead
+            best_fid = None
+            lo = lf.frame_id - 2 * lead      # preferred window: W = 2·lead
+            hi = lf.frame_id - lead          # minimum usable window: W = lead
             for fid, pose in self._pose_hist:
-                if fid == tgt:
-                    return (lf.pose_cw @ np.linalg.inv(pose)
-                            @ lf.pose_cw).astype(np.float32)
+                if lo <= fid <= hi and (best_fid is None or fid < best_fid):
+                    best_fid, best_pose = fid, pose
+            if best_fid is not None:
+                W = lf.frame_id - best_fid
+                D = lf.pose_cw @ np.linalg.inv(best_pose)
+                if W == lead:
+                    return (D @ lf.pose_cw).astype(np.float32)
+                xi = _se3_log(D) * (lead / W)
+                return (_se3_exp(xi) @ lf.pose_cw).astype(np.float32)
             self.pred_hist_misses += 1
         T_pred = lf.pose_cw
         for _ in range(max(1, lead)):

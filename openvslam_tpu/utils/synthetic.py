@@ -469,6 +469,131 @@ class CityCourseRenderer:
             out = out.reshape(cam.rows, ss, cam.cols, ss).mean(axis=(1, 3))
         return out.reshape(cam.rows, cam.cols).astype(np.uint8)
 
+    # ------------------------------------------------------------------
+    # JAX render path: same quad/texture model, jitted so a whole long
+    # sequence renders on the accelerator (the numpy path is ~2.6 s/frame
+    # at ss=2 — a 4,000-frame stereo cache would take ~6 CPU-hours; the
+    # TPU renders it in minutes).  Numerics: the (P,3)x(3,V) ray-quad dot
+    # products run at HIGHEST matmul precision — the default one-pass bf16
+    # lowering would put ~0.4 px of frame-to-frame jitter on texture
+    # coordinates, which shimmers the textures and destabilizes
+    # descriptors at distance (same failure the supersampling exists to
+    # prevent).  Culling semantics match the numpy path exactly
+    # (quad-center distance + backface, folded into the validity mask).
+    # ------------------------------------------------------------------
+    _RAY_CHUNK = 65536
+
+    def _render_jax_step(self, cam, ss: int):
+        """-> jitted fn (R_cw (B,3,3), c_w (B,3)) -> (B, rows, cols) u8."""
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        rays_np = self._bearings(cam, ss).astype(np.float32)     # (P,3)
+        P = len(rays_np)
+        C = self._RAY_CHUNK
+        n_chunk = -(-P // C)
+        pad = n_chunk * C - P
+        rays_np = np.concatenate(
+            [rays_np, np.zeros((pad, 3), np.float32)], 0)
+        rays = jnp.asarray(rays_np.reshape(n_chunk, C, 3))
+        p0 = jnp.asarray(self.quad_p0)                           # (V,3)
+        nrm = jnp.asarray(self.quad_n)
+        u_ax = jnp.asarray(self.quad_u)
+        v_ax = jnp.asarray(self.quad_v)
+        hu = jnp.asarray(self.quad_hu)
+        hv = jnp.asarray(self.quad_hv)
+        tex_h = jnp.asarray(self.tex_h)
+        tex_w = jnp.asarray(self.tex_w)
+        th, tw = self.atlas.shape[1], self.atlas.shape[2]
+        atlas_flat = jnp.asarray(self.atlas.reshape(-1))
+        res = float(self.res)
+        max_d2 = float(self.max_dist) ** 2
+        hp = jax.lax.Precision.HIGHEST
+
+        def chunk_fn(d, c, num, quad_ok):
+            """d (C,3) rays, c (3,) center, num (V,) = (p0-c)·n."""
+            denom = jnp.matmul(d, nrm.T, precision=hp)           # (C,V)
+            denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+            lam = num[None, :] / denom
+            cu = jnp.einsum("vk,vk->v", p0 - c[None, :], u_ax,
+                            precision=hp)
+            cv = jnp.einsum("vk,vk->v", p0 - c[None, :], v_ax,
+                            precision=hp)
+            tu = -cu[None, :] + lam * jnp.matmul(d, u_ax.T, precision=hp)
+            tv = -cv[None, :] + lam * jnp.matmul(d, v_ax.T, precision=hp)
+            ok = ((lam > 1e-3) & (jnp.abs(tu) < hu[None, :])
+                  & (jnp.abs(tv) < hv[None, :]) & quad_ok[None, :])
+            lam_ok = jnp.where(ok, lam, jnp.inf)
+            w = jnp.argmin(lam_ok, axis=1)                       # (C,)
+            hit = jnp.isfinite(jnp.min(lam_ok, axis=1))
+            # recompute texture coords at the winner only (O(C)) so the
+            # (C,V) intermediates above stay inside the fused reduction
+            nw, uw, vw = nrm[w], u_ax[w], v_ax[w]
+            dn = jnp.einsum("ck,ck->c", d, nw, precision=hp)
+            dn = jnp.where(jnp.abs(dn) < 1e-9, 1e-9, dn)
+            lam_w = num[w] / dn
+            rel = c[None, :] - p0[w]
+            tu_w = jnp.einsum("ck,ck->c", rel + lam_w[:, None] * d, uw,
+                              precision=hp)
+            tv_w = jnp.einsum("ck,ck->c", rel + lam_w[:, None] * d, vw,
+                              precision=hp)
+            px = (tu_w + hu[w]) * res
+            py = (tv_w + hv[w]) * res
+            x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, tex_w[w] - 2)
+            y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, tex_h[w] - 2)
+            fx = jnp.clip(px - x0, 0, 1)
+            fy = jnp.clip(py - y0, 0, 1)
+            base = w * (th * tw)
+            g = lambda yy, xx: atlas_flat[base + yy * tw + xx]
+            val = (g(y0, x0) * (1 - fx) * (1 - fy)
+                   + g(y0, x0 + 1) * fx * (1 - fy)
+                   + g(y0 + 1, x0) * (1 - fx) * fy
+                   + g(y0 + 1, x0 + 1) * fx * fy)
+            return jnp.where(hit, val, 0.0)
+
+        def render_one(Rc):
+            R, c = Rc                                            # (3,3),(3,)
+            rel = p0 - c[None, :]
+            num = jnp.einsum("vk,vk->v", rel, nrm, precision=hp)
+            quad_ok = (jnp.einsum("vk,vk->v", rel, rel) < max_d2) & (num < 0)
+            d_all = jnp.einsum("nck,kj->ncj", rays, R, precision=hp)
+            vals = jax.lax.map(
+                lambda d: chunk_fn(d, c, num, quad_ok), d_all)   # (n,C)
+            img = vals.reshape(-1)[:P]
+            if ss > 1:
+                img = img.reshape(cam.rows, ss, cam.cols, ss).mean((1, 3))
+            return img.reshape(cam.rows, cam.cols).astype(jnp.uint8)
+
+        @partial(jax.jit)
+        def step(R_b, c_b):
+            return jax.lax.map(render_one, (R_b, c_b))
+        return step
+
+    def render_sequence_jax(self, cam, poses_cw, ss: int = 1,
+                            batch: int = 16, progress=None) -> np.ndarray:
+        """Render ``poses_cw`` (N,4,4) on the default JAX backend ->
+        (N, rows, cols) u8.  Frames are processed ``batch`` at a time
+        inside one jitted program (lax.map keeps peak memory at one
+        frame's intermediates per chunk)."""
+        step = self._render_jax_step(cam, ss)
+        poses_cw = np.asarray(poses_cw, np.float32)
+        N = len(poses_cw)
+        R_all = poses_cw[:, :3, :3]
+        c_all = -np.einsum("nij,nj->ni", R_all.transpose(0, 2, 1),
+                           poses_cw[:, :3, 3])
+        out = np.empty((N, cam.rows, cam.cols), np.uint8)
+        for s0 in range(0, N, batch):
+            s1 = min(s0 + batch, N)
+            Rb = np.zeros((batch, 3, 3), np.float32)
+            cb = np.zeros((batch, 3), np.float32)
+            Rb[: s1 - s0] = R_all[s0:s1]
+            cb[: s1 - s0] = c_all[s0:s1]
+            out[s0:s1] = np.asarray(step(Rb, cb))[: s1 - s0]
+            if progress is not None:
+                progress(s1, N)
+        return out
+
 
 def course_trajectory(course, n_frames: int, laps: float = 1.0,
                       look_ahead: float = 6.0, height: float = 0.0,
