@@ -94,7 +94,12 @@ class Relocalizer:
             jnp.zeros((RELOC_CAND_CAP, K, 3), jnp.float32),
         )[1].block_until_ready()
 
-    def relocalize(self, frame) -> Optional[np.ndarray]:
+    def relocalize(self, frame,
+                   min_inliers: Optional[int] = None) -> Optional[np.ndarray]:
+        """``min_inliers`` overrides the acceptance gate for this call (the
+        tracker's post-loss grace window lowers it, paired with its own
+        spatial-proximity guard — see TrackingModule._relocalize)."""
+        gate = self.min_inliers if min_inliers is None else int(min_inliers)
         words = self.bow_db.compute_words(frame.desc_i8, frame.valid)
         cands = self.bow_db.acquire_relocalization_candidates(words)
         if not cands:
@@ -139,7 +144,7 @@ class Relocalizer:
                 continue
             T = self._refine_candidate(
                 frame, int(kf), idx_all[ci], kf_ok[ci],
-                T_all[ci].astype(np.float32))
+                T_all[ci].astype(np.float32), gate)
             if T is not None:
                 # tracker adopts this as its reference keyframe (ref:
                 # relocalization re-anchors tracking on the matched KF)
@@ -147,8 +152,8 @@ class Relocalizer:
                 return T
         return None
 
-    def _refine_candidate(self, frame, kf: int, idx, kf_ok,
-                          T_est) -> Optional[np.ndarray]:
+    def _refine_candidate(self, frame, kf: int, idx, kf_ok, T_est,
+                          gate: int) -> Optional[np.ndarray]:
         """Stage 2 for one surviving candidate: pose LM on the matches,
         projection-widened match over the candidate's local map, final LM."""
         db = self.db
@@ -196,7 +201,7 @@ class Relocalizer:
             if frame.lm_idx[kpt] < 0:
                 frame.lm_idx[kpt] = cand_lms[j]
         T_fin, num_inl = self._pose_optimize(frame, T_opt)
-        if num_inl < self.min_inliers:
+        if num_inl < gate:
             frame.lm_idx[:] = -1
             return None
         frame.lm_idx[frame.outlier] = -1

@@ -116,6 +116,13 @@ class TrackingModule:
         self.pred_hist_misses = 0
         # capacity-overflow accounting (SURVEY §7 hard part 1)
         self.overflow: dict = {}
+        # post-loss grace relocalization (r4: a leading-edge loss used to
+        # stay Lost until map RE-ENTRY — ~1000 untracked frames on the city
+        # circuit — although the first frames after the loss still overlap
+        # the just-built map heavily; only the ~40-inlier gate blocked them)
+        self._lost_at: Optional[int] = None
+        self._lost_center: Optional[np.ndarray] = None
+        self._lost_speed = 0.0
 
     def _count_overflow(self, what: str, n: int):
         if what not in self.overflow:
@@ -401,6 +408,20 @@ class TrackingModule:
             return T_pred, 0      # no local map to rescue against
         return T_cur, num_inl
 
+    def _go_lost(self, frame: Frame):
+        """Transition to Lost, recording where tracking died (frame id,
+        camera center, speed) for the post-loss grace relocalization
+        window — see _relocalize."""
+        self.state = TrackerState.LOST
+        self._lost_at = frame.frame_id
+        lp = self.last_frame.pose_cw if self.last_frame is not None else None
+        if lp is not None:
+            self._lost_center = (-lp[:3, :3].T @ lp[:3, 3]).astype(np.float64)
+            self._lost_speed = max(
+                float(np.linalg.norm(self.velocity[:3, 3])), 1e-3)
+        else:
+            self._lost_center = None
+
     def _rescue_acceptable(self, T_cur, T_pred, num_inl: int) -> bool:
         """Borderline rescue acceptance: a thin (12+) inlier set counts when
         the optimized pose agrees with the constant-velocity prediction —
@@ -452,7 +473,7 @@ class TrackingModule:
             T_cur, num_inl = self._rescue_with_local_map(frame, T_mm_pred)
             weak_ok = self._rescue_acceptable(T_cur, T_mm_pred, num_inl)
             if num_inl < thr and not weak_ok:
-                self.state = TrackerState.LOST
+                self._go_lost(frame)
                 _log.info("tracking lost at frame %d: %d matches after all "
                           "strategies (+rescue %d inliers)",
                           frame.frame_id, nmatch, num_inl)
@@ -464,7 +485,7 @@ class TrackingModule:
                 T_cur, num_inl = self._rescue_with_local_map(frame, T_mm_pred)
                 weak_ok = self._rescue_acceptable(T_cur, T_mm_pred, num_inl)
                 if num_inl < thr and not weak_ok:
-                    self.state = TrackerState.LOST
+                    self._go_lost(frame)
                     _log.info("tracking lost at frame %d: %d inliers after "
                               "pose optimization", frame.frame_id, num_inl)
                     frame.pose_cw = None
@@ -480,7 +501,7 @@ class TrackingModule:
             # local map mid-corner, not a wrong pose)
             weak_ok = self._rescue_acceptable(T_cur, T_mm_pred, num_inl)
         if num_inl < thr and not weak_ok:
-            self.state = TrackerState.LOST
+            self._go_lost(frame)
             _log.info("tracking lost at frame %d: %d local-map inliers "
                       "(threshold %d)", frame.frame_id, num_inl, thr)
             frame.pose_cw = None
@@ -803,15 +824,40 @@ class TrackingModule:
         self._peak_tracked = 0
 
     # ------------------------------------------------------------------
+    GRACE_FRAMES = 90        # post-loss window with the relaxed reloc gate
+    GRACE_GATE = 25          # inlier gate inside the window (normal: 40)
+
     def _relocalize(self, frame: Frame):
         if self.relocalizer is None:
             return None
-        T = self.relocalizer.relocalize(frame)
+        # Post-loss grace: for GRACE_FRAMES after a loss the camera is still
+        # near the just-built map (leading-edge losses leave nothing AHEAD to
+        # relocalize against later — r3/r4 city runs stayed Lost for ~1000
+        # frames until map re-entry).  A relaxed gate alone would resurrect
+        # the perceptual-aliasing false relocs fd6071a fixed, so a relaxed
+        # accept must ALSO land within the distance the camera can have
+        # travelled since the loss (metric maps; mono maps carry the same
+        # check in map units via the last velocity).
+        d_lost = (frame.frame_id - self._lost_at
+                  if self._lost_at is not None else None)
+        grace = (d_lost is not None and d_lost <= self.GRACE_FRAMES
+                 and self._lost_center is not None)
+        T = self.relocalizer.relocalize(
+            frame, min_inliers=self.GRACE_GATE if grace else None)
         if T is None:
             return None
+        gate = 40
+        if grace:
+            c = -T[:3, :3].T.astype(np.float64) @ T[:3, 3]
+            bound = max(3.0 * self._lost_speed,
+                        1.5 * self._lost_speed * (d_lost + 10))
+            if float(np.linalg.norm(c - self._lost_center)) <= bound:
+                gate = self.GRACE_GATE
+            # outside the bound: fall through with the full gate — a far
+            # match can still be a legitimate re-entry relocalization
         frame.pose_cw = T.astype(np.float32)
         T_cur, num_inl = self._track_local_map(frame, frame.pose_cw)
-        if num_inl < 40:
+        if num_inl < gate:
             # the reference accepts relocalization only at ~50 inliers:
             # under perceptual aliasing (repeated street texture) a ~30
             # inlier "success" is routinely a FALSE match that would anchor
@@ -820,8 +866,9 @@ class TrackingModule:
             return None
         frame.pose_cw = T_cur.astype(np.float32)
         self.state = TrackerState.TRACKING
-        _log.info("relocalized at frame %d (%d local-map inliers)",
-                  frame.frame_id, num_inl)
+        _log.info("relocalized at frame %d (%d local-map inliers%s)",
+                  frame.frame_id, num_inl,
+                  ", grace" if gate == self.GRACE_GATE else "")
         self.velocity = np.eye(4, dtype=np.float32)
         self._pose_hist.clear()
         self._record_pose(frame)
@@ -832,5 +879,11 @@ class TrackingModule:
             self.ref_kf = reloc_kf
             self.last_kf_frame_id = frame.frame_id
         self.num_tracked = num_inl
-        self.frames_since_reloc = 0
+        # A spatially-verified grace reloc skips the 30-frame distrust
+        # window (thr=50, no weak acceptance): the proximity bound is the
+        # evidence the window exists to gather, and the thin-margin regime
+        # that caused the loss would re-lose instantly under thr=50.
+        self.frames_since_reloc = 31 if gate == self.GRACE_GATE else 0
+        self._lost_at = None
+        self._lost_center = None
         return frame.pose_cw
