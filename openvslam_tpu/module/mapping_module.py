@@ -133,6 +133,10 @@ class MappingModule:
         if self.global_optimizer is not None:
             self.global_optimizer.queue_keyframe(kf)
 
+    # synchronous mapping never queues: the tracker's backlog gate is a
+    # no-op outside async mode (_AsyncMapperProxy overrides this)
+    backlog = 0
+
     def insert_keyframe(self, frame) -> int:
         """Synchronous insertion: store + full mapping pipeline."""
         import time as _time

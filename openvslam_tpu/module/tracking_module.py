@@ -333,6 +333,16 @@ class TrackingModule:
         L = self.LOCAL_LM_CAP
         if len(local_lms) > L:
             self._count_overflow("local_map_lms", len(local_lms) - L)
+            # keep the most-established landmarks: an arbitrary prefix cut
+            # drops whatever acquire_local_map happened to order last —
+            # under async mapping lag that was the confirmed map, leaving
+            # the matcher a wall of 1-observation stereo seeds (frame-58
+            # collapse).  Observation count is the quality signal the cull
+            # stage itself uses.
+            local_lms = np.asarray(local_lms, np.int64)
+            obs = db.lm_num_obs[local_lms]
+            keep = np.argpartition(-obs, L - 1)[:L]
+            local_lms = local_lms[np.sort(keep)]
         n = min(len(local_lms), L)
         cand = np.asarray(local_lms[:n], np.int64)
         pos = np.zeros((L, 3), np.float32)
@@ -813,9 +823,23 @@ class TrackingModule:
         cond_d = (frames_since >= 1
                   and self.num_tracked < 0.5 * self._peak_tracked)
         enough = self.num_tracked > 15
+        # ref keyframe_inserter parity ([U:module/keyframe_inserter]): the
+        # mapping queue gates insertion.  With async mapping saturated
+        # (>=2 queued KFs) every extra keyframe seeds hundreds of stereo
+        # depth landmarks whose culling lags several KFs behind, ballooning
+        # the local map past its device capacity and crowding the
+        # established landmarks out of the matcher (observed: async city
+        # run lost at frame 58 with 8.4k live lms vs sync's 2k).  Hold new
+        # KFs under saturation unless the tracked count is decaying toward
+        # the lost threshold.
+        if getattr(self.mapper, "backlog", 0) >= 2:
+            return enough and self.num_tracked < 60
         return enough and (cond_a or cond_c or cond_d)
 
     def _insert_keyframe(self, frame: Frame):
+        wait = getattr(self.mapper, "wait_for_backlog", None)
+        if wait is not None:
+            wait(max_backlog=1)   # backpressure: pace to mapper throughput
         kf = self.mapper.insert_keyframe(frame)
         _log.debug("keyframe %d inserted at frame %d (%d tracked)",
                    kf, frame.frame_id, self.num_tracked)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import collections
 import concurrent.futures
 import threading
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -701,6 +702,28 @@ class _AsyncMapperProxy:
     def idle(self) -> bool:
         with self._qlock:
             return not self.queue and (self._future is None or self._future.done())
+
+    @property
+    def backlog(self) -> int:
+        """Keyframes queued behind the one being processed (the tracker's
+        keyframe-insertion gate reads this; ref keyframe_inserter checks
+        the mapping module's queue before allowing a new keyframe)."""
+        with self._qlock:
+            return len(self.queue)
+
+    def wait_for_backlog(self, max_backlog: int = 1, timeout: float = 30.0):
+        """Block the tracking thread until the queue drains to
+        `max_backlog`.  Backpressure: keyframe insertion is paced to the
+        mapper's real throughput, so a saturated mapper degrades toward
+        synchronous mapping instead of accumulating unculled stereo seeds
+        (which balloon the local map and collapse the inlier count —
+        observed on the 800-kpt city circuit where per-KF mapping cost
+        exceeds the KF interval on a remote-tunnel device)."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if self.backlog <= max_backlog:
+                return
+            time.sleep(0.005)
 
     def insert_keyframe(self, frame) -> int:
         # store synchronously (caller already holds the map lock)
