@@ -837,9 +837,10 @@ class TrackingModule:
         return enough and (cond_a or cond_c or cond_d)
 
     def _insert_keyframe(self, frame: Frame):
-        wait = getattr(self.mapper, "wait_for_backlog", None)
-        if wait is not None:
-            wait(max_backlog=1)   # backpressure: pace to mapper throughput
+        # NOTE: no blocking here — this runs with the map lock held, and
+        # waiting for the mapper while holding the lock starves the very
+        # queue being waited on.  Backpressure lives in System._pace_mapper
+        # (feed path, before the lock).
         kf = self.mapper.insert_keyframe(frame)
         _log.debug("keyframe %d inserted at frame %d (%d tracked)",
                    kf, frame.frame_id, self.num_tracked)

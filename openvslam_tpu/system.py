@@ -253,10 +253,23 @@ class System:
             "rgbd": self.feed_RGBD_frame,
         }[self.feed_kind()](*args, **kwargs)
 
+    def _pace_mapper(self):
+        """Backpressure (async mapping): block the feed — with NO lock held
+        — until the mapper's keyframe queue drains to <=1.  A mapper slower
+        than the keyframe rate otherwise accumulates unprocessed keyframes
+        whose unculled stereo seeds balloon the live landmark set and
+        collapse tracking (800-kpt city circuit, lost at frame 58).  Pacing
+        here, not inside keyframe insertion, matters: insertion runs with
+        the map lock held, and the mapper needs that lock to drain."""
+        wait = getattr(self._tracker_mapper, "wait_for_backlog", None)
+        if wait is not None and self._tracker_mapper.backlog >= 2:
+            wait(max_backlog=1)
+
     def feed_monocular_frame(self, image: np.ndarray, timestamp: float,
                              mask: Optional[np.ndarray] = None):
         """image: (rows, cols) uint8 grayscale or (rows, cols, 3) color.
         Returns pose_cw (4,4) or None."""
+        self._pace_mapper()
         img = self._to_gray(image)
         mask = mask if mask is not None else self._static_mask
         mask_j = None if mask is None else jnp.asarray(mask, jnp.float32)
@@ -287,6 +300,7 @@ class System:
         per-keypoint disparity/depth."""
         from .ops.stereo import stereo_match_dense
 
+        self._pace_mapper()
         l_img = self._to_gray(left)
         r_img = self._to_gray(right)
         mask = mask if mask is not None else self._static_mask
@@ -324,6 +338,7 @@ class System:
                         timestamp: float, mask: Optional[np.ndarray] = None):
         """RGB + registered depth map -> pose (ref system::feed_RGBD_frame).
         Depth sampled at keypoint locations; virtual right-u from depth."""
+        self._pace_mapper()
         img = self._to_gray(rgb)
         mask = mask if mask is not None else self._static_mask
         mask_j = None if mask is None else jnp.asarray(mask, jnp.float32)
@@ -477,6 +492,7 @@ class System:
                 yield fl["ts"], pose
 
         for item in items:
+            self._pace_mapper()    # backpressure before any lock is taken
             _tp = _time.perf_counter()
             img, ts, mask_j, aux, orig = _prepare(item)
             self.pipe_stats["prep_s"].append(_time.perf_counter() - _tp)

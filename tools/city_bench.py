@@ -180,9 +180,15 @@ def main():
     t0 = time.time()
     if args.pipeline_depth > 1:
         items = ((left[i], right[i], i / 10.0) for i in range(n_feed))
-        for _ in s.feed_sequence(items, kind="stereo",
-                                 depth=args.pipeline_depth):
-            pass
+        for fi, _ in enumerate(s.feed_sequence(items, kind="stereo",
+                                               depth=args.pipeline_depth)):
+            if fi % 200 == 0:
+                st = s.stats()
+                print(f"  frame {fi}: state={st['state']} "
+                      f"kfs={st['num_keyframes']} lms={st['num_landmarks']} "
+                      f"loops={st['loops_closed']} "
+                      f"({(time.time() - t0) / max(fi, 1) * 1000:.0f} ms/f)",
+                      flush=True)
     else:
         stats_f = open(args.stats_csv, "w") if args.stats_csv else None
         for i in range(n_feed):
