@@ -261,6 +261,11 @@ class System:
         collapse tracking (800-kpt city circuit, lost at frame 58).  Pacing
         here, not inside keyframe insertion, matters: insertion runs with
         the map lock held, and the mapper needs that lock to drain."""
+        # applies to every setup: stereo/RGBD backlogs balloon the local map
+        # via instant depth seeds, and even mono backlogs delay culling /
+        # triangulation enough to degrade quality and stretch the shutdown
+        # drain (measured: mono bench ATE 0.010->0.051 and wall fps 19->7
+        # with mono exempted from pacing)
         wait = getattr(self._tracker_mapper, "wait_for_backlog", None)
         if wait is not None and self._tracker_mapper.backlog >= 2:
             wait(max_backlog=1)
