@@ -85,12 +85,19 @@ def system_bench():
     def items():
         for i in range(n):
             if i == warm:
+                # reset the link-wait accumulators at the measurement start
+                # so the decomposition below matches the timed window
+                s.tracker.fetch_wait_s = 0.0
+                s._pace_waits = 0
+                s._pace_wait_s = 0.0
                 t_warm[0] = time.perf_counter()
             yield imgs[i], i / 20.0
 
     for _, pose in s.feed_sequence(items(), kind="monocular", depth=3):
         out.append(pose)
     t_end = time.perf_counter()
+    fetch_wait = s.tracker.fetch_wait_s
+    pace_wait = s._pace_wait_s
     s.shutdown()
     idx = [i for i, p in enumerate(out) if p is not None]
     ce = np.stack([-out[i][:3, :3].T @ out[i][:3, 3] for i in idx])
@@ -103,9 +110,21 @@ def system_bench():
     # - wall-clock rate including serialized mapping (KF-insertion spikes)
     tt = np.array(s.track_times[warm:])
     fps_median = 1.0 / max(float(np.median(tt)), 1e-9)
-    fps_wall = (n - warm) / max(t_end - t_warm[0], 1e-9)
+    wall_s = max(t_end - t_warm[0], 1e-9)
+    fps_wall = (n - warm) / wall_s
+    # Wall-time decomposition (VERDICT r4 #5: make "the wall rate is the
+    # tunnel, not the system" a measured claim).  The feed thread's blocked
+    # time splits into (a) fused-step result-fetch waits — device compute
+    # plus the remote link's RTT residual — and (b) backpressure pace waits
+    # behind the (RTT-bound) mapper.  Everything else is host work.
+    decomp = {
+        "wall_s": round(wall_s, 2),
+        "fetch_wait_s": round(fetch_wait, 2),
+        "pace_wait_s": round(pace_wait, 2),
+        "host_other_s": round(max(wall_s - fetch_wait - pace_wait, 0.0), 2),
+    }
     return (fps_median, fps_wall, ate, len(idx) / n,
-            len(s.map_db.valid_kf_ids()))
+            len(s.map_db.valid_kf_ids()), decomp, n - warm)
 
 
 def kernel_bench():
@@ -203,11 +222,21 @@ def kernel_bench():
 
 def main():
     kernel_fps = kernel_bench()
-    sys_fps, fps_wall, sys_ate, tracked, n_kfs = system_bench()
+    (sys_fps, fps_wall, sys_ate, tracked, n_kfs, decomp,
+     n_meas) = system_bench()
+    # colocated-host estimate: the link waits (fetch + pace) are replaced
+    # by the MEASURED on-chip step cost (kernel_fps is the steady-state
+    # device rate for the same frame program), host work kept as measured.
+    # On a colocated deployment there is no tunnel RTT to hide, so this is
+    # the wall rate the same code would deliver there (estimate, labeled).
+    coloc_s = decomp["host_other_s"] + n_meas / max(kernel_fps, 1e-9)
+    fps_wall_excl_rtt = n_meas / max(coloc_s, 1e-9)
     print(
         f"[bench] system: {sys_fps:.1f} fps median tracking rate "
-        f"({fps_wall:.1f} fps wall incl. serialized mapping), "
-        f"ATE(sim3) {sys_ate:.4f} m, tracked {tracked:.2f}, {n_kfs} KFs",
+        f"({fps_wall:.1f} fps wall incl. serialized mapping; "
+        f"{fps_wall_excl_rtt:.1f} fps colocated-host estimate), "
+        f"ATE(sim3) {sys_ate:.4f} m, tracked {tracked:.2f}, {n_kfs} KFs; "
+        f"wall decomp {decomp}",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -216,6 +245,10 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(sys_fps / BASELINE_FPS, 3),
         "system_wall_fps_incl_mapping": round(fps_wall, 2),
+        # wall-time decomposition + the colocated-host estimate it implies
+        # (VERDICT r4 #5): link waits swapped for measured device time
+        "wall_decomp_s": decomp,
+        "system_wall_fps_excl_rtt_est": round(fps_wall_excl_rtt, 2),
         "kernel_frames_per_s_per_chip": round(kernel_fps, 2),
         "kernel_vs_baseline": round(kernel_fps / BASELINE_FPS, 3),
         "system_ate_sim3_m": round(sys_ate, 4),

@@ -65,6 +65,16 @@ class MappingConfig:
     redundant_obs_ratio_thr: float = 0.9
     num_covisibilities_for_landmark_generation: int = 10
     num_covisibilities_for_landmark_fusion: int = 10
+    # stereo/RGBD depth seeding: per-grid-cell budget of total coverage
+    # (tracked landmarks + new seeds, closest-depth first).  The leading
+    # edge (unmapped cells) keeps its dense seeds — that density is what
+    # holds fast forward motion (r3: a global cap collapsed the stress run
+    # 0.775 -> 0.12 tracked) — while already-covered cells stop re-seeding
+    # doomed duplicates (r4: 92% of created landmarks culled).  <= 0 (the
+    # default) disables the gate: opt in per config (tools/city_bench.py
+    # --seed-budget) until the long-course A/B justifies flipping it.
+    seed_cell_budget: int = 0
+    seed_grid: tuple = (6, 8)          # (rows, cols) coverage cells
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,6 +129,7 @@ class Config:
         mapping = MappingConfig(
             baseline_dist_thr_ratio=float(mp.get("baseline_dist_thr_ratio", 0.02)),
             redundant_obs_ratio_thr=float(mp.get("redundant_obs_ratio_thr", 0.9)),
+            seed_cell_budget=int(mp.get("seed_cell_budget", 0)),
         )
         lp = d.get("LoopDetector", {})
         loop = LoopConfig(

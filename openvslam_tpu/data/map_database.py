@@ -94,6 +94,13 @@ class MapDatabase:
         self.loop_edges: List[Optional[Set[int]]] = [None] * max_kfs
 
         self.origin_kf = -1
+        # cull-time pose of erased keyframes relative to their (then-live)
+        # spanning-tree parent: kf -> (parent, T_kf_rel_parent).  Frame
+        # trajectories are saved relative to their reference keyframe (ref
+        # trajectory_io), and a culled reference composes through this
+        # chain to a live ancestor (ref keyframe stores T_camera_to_parent
+        # at erase time for exactly this purpose)
+        self.culled_rel: Dict[int, tuple] = {}
         # monotonically increasing mutation counter: device-side caches
         # (e.g. the tracker's local-map mirror) key on this
         self.version = 0
@@ -252,6 +259,12 @@ class MapDatabase:
             self.parent[ch] = parent
             if parent >= 0:
                 self.children[parent].add(ch)
+        # record the cull-time pose relative to the parent so frame
+        # trajectories referenced to this keyframe can compose through the
+        # spanning tree at save time (see culled_rel above)
+        if parent >= 0 and self.kf_valid[parent]:
+            rel = self.kf_pose_cw[kf] @ np.linalg.inv(self.kf_pose_cw[parent])
+            self.culled_rel[kf] = (parent, rel.astype(np.float32))
         self.kf_valid[kf] = False
         self.covis[kf] = {}
         self.covis_ordered[kf] = np.zeros(0, np.int32)

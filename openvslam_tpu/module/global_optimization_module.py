@@ -55,15 +55,33 @@ class GlobalOptimizationModule:
         # propagates keyframes/landmarks born while it ran)
         self.async_global_ba = False
         self.map_lock = None            # set by System (shared map mutex)
+        self.mapper_proxy = None        # set by System in async mode
         self._gba_thread = None
+        # dedicated loop worker (ref: global_optimization_module runs on its
+        # own std::thread consuming a keyframe queue; SURVEY §3.4) — started
+        # by System in async mode via start_loop_worker().  In sync mode the
+        # loop pipeline runs inline in queue_keyframe (deterministic tests).
+        self._loop_thread = None
+        self._loop_queue: list = []
+        self._loop_qlock = __import__("threading").Lock()
+        self._loop_wake = __import__("threading").Event()
+        self._loop_stop = False
+        self.loop_checks_run = 0
+        self.loop_stale_discards = 0
         nl = cfg.feature.num_levels
         sf = cfg.feature.scale_factor
         self.sigma2 = np.array([sf ** (2 * l) for l in range(nl)], np.float32)
 
     # ------------------------------------------------------------------
     def queue_keyframe(self, kf: int):
-        """Called by the mapping module for every new keyframe: compute BoW,
-        try loop detection + closure (synchronous pipeline stage)."""
+        """Called by the mapping module for every new keyframe (under the
+        map lock): register its BoW vector, then either run the loop
+        pipeline inline (sync mode — deterministic for tests) or hand the
+        keyframe to the dedicated loop worker thread (ref: the global
+        optimization module is its own std::thread, SURVEY §3.4 — loop
+        validation/correction must not ride in the mapping stage, where it
+        backs up the keyframe queue and, through feed backpressure, stalls
+        tracking for seconds: CITY_BENCH_TPU6 p99 2.07 s / max 34.7 s)."""
         db = self.db
         # drop BoW entries of keyframes culled since the last call
         for k in [k for k in self.bow_db.kf_words if not db.kf_valid[k]]:
@@ -73,16 +91,88 @@ class GlobalOptimizationModule:
         self._prewarm_growth()
         if not self.loop_enabled:
             return
+        if self._loop_thread is not None:
+            with self._loop_qlock:
+                self._loop_queue.append(kf)
+            self._loop_wake.set()
+            return
+        self._loop_check(kf)
+
+    # ------------------------------------------------------------------
+    # loop worker thread (async mode)
+    # ------------------------------------------------------------------
+    def start_loop_worker(self):
+        import threading
+        if self._loop_thread is not None:
+            return
+        self._loop_stop = False
+        self._loop_thread = threading.Thread(
+            target=self._loop_worker, daemon=True, name="global-opt")
+        self._loop_thread.start()
+
+    def stop_loop_worker(self, timeout: float = 120.0):
+        """Drain the remaining queue, then stop (System.shutdown)."""
+        t = self._loop_thread
+        if t is None:
+            return
+        self._loop_stop = True
+        self._loop_wake.set()
+        t.join(timeout)
+        self._loop_thread = None
+
+    @property
+    def loop_backlog(self) -> int:
+        with self._loop_qlock:
+            return len(self._loop_queue)
+
+    def _loop_worker(self):
+        while True:
+            self._loop_wake.wait(timeout=0.2)
+            with self._loop_qlock:
+                if not self._loop_queue:
+                    self._loop_wake.clear()
+                    if self._loop_stop:
+                        return
+                    continue
+                kf = self._loop_queue.pop(0)
+            try:
+                self._loop_check(kf)
+            except Exception:
+                _log.exception("loop worker: check for keyframe %d failed", kf)
+
+    def _kf_ok(self, kf: int) -> bool:
+        db = self.db
+        return 0 <= kf < db.n_kfs and bool(db.kf_valid[kf])
+
+    def _loop_check(self, kf: int):
+        """Loop pipeline for one keyframe: detect -> Sim3 validate ->
+        correct.  The device-heavy validation runs on a snapshot WITHOUT
+        the map lock; correction pauses the mapper (ref: loop correction
+        pauses *mapping*, not tracking), re-takes the lock, and discards
+        the validated Sim3 if a whole-map geometry rewrite landed
+        mid-validation (versioned application — same discipline as the
+        mapping module's unlocked device calls)."""
+        import contextlib
+        lock = (self.map_lock if self.map_lock is not None
+                else contextlib.nullcontext())
         if kf - self.last_loop_kf < 10:   # cooldown (ref: 10 KFs)
             return
-        candidates = self.loop_detector.detect(kf)
+        with lock:
+            if not self._kf_ok(kf):
+                return
+            candidates = self.loop_detector.detect(kf)
+        self.loop_checks_run += 1
         for cand in candidates:
             self.loop_events.append(("cand", kf, cand))
+            with lock:
+                if not (self._kf_ok(kf) and self._kf_ok(cand)):
+                    continue
+                snap = self.loop_detector.snapshot(kf, cand)
             # full inlier gate (ref: ~min_num_valid_obs after the transform
-            # optimization); reachable because validate() now widens the BoW
+            # optimization); reachable because validation widens the BoW
             # matches with the Sim3-warped projection search
-            out = self.loop_detector.validate(
-                kf, cand, min_inliers=self.cfg.loop.min_num_valid_obs
+            out = self.loop_detector.validate_snapshot(
+                snap, min_inliers=self.cfg.loop.min_num_valid_obs
             )
             if out is None:
                 continue
@@ -90,9 +180,27 @@ class GlobalOptimizationModule:
             R, t, s, mk, mc, lms_k, lms_c = out
             _log.info("loop detected: keyframe %d <-> %d (scale %.3f); "
                       "correcting", kf, cand, float(s))
-            self.correct_loop(kf, cand, (R, t, s), lms_k, lms_c)
-            self.last_loop_kf = kf
-            self.num_loops_closed += 1
+            # pause the mapper OUTSIDE the lock (its in-flight keyframe
+            # needs the lock to finish), then correct under the lock
+            proxy = self.mapper_proxy
+            if proxy is not None:
+                proxy.pause(wait=True)
+            try:
+                with lock:
+                    if self.db.geom_version != snap["geom_version"]:
+                        self.loop_stale_discards += 1
+                        _log.info(
+                            "loop Sim3 %d<->%d discarded (map geometry "
+                            "moved during validation)", kf, cand)
+                        continue
+                    if not (self._kf_ok(kf) and self._kf_ok(cand)):
+                        continue
+                    self.correct_loop(kf, cand, (R, t, s), lms_k, lms_c)
+                    self.last_loop_kf = kf
+                    self.num_loops_closed += 1
+            finally:
+                if proxy is not None:
+                    proxy.resume()
             _log.info("loop %d closed (pose graph + global BA dispatched)",
                       self.num_loops_closed)
             return

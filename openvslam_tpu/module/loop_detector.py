@@ -60,23 +60,52 @@ class LoopDetector:
         return validated
 
     # ------------------------------------------------------------------
+    def snapshot(self, kf: int, cand: int) -> dict:
+        """Copy everything Sim3 validation reads from the map for the pair
+        (kf, cand) — per-keyframe keypoint columns, per-slot landmark
+        positions/validity, poses, BoW words.  Taken under the map lock by
+        the loop worker so ``validate_snapshot`` can run its device-heavy
+        pipeline WITHOUT holding the lock (the reference's loop detector
+        runs on its own thread with fine-grained locking; here the snapshot
+        plus a geom_version check at correction time gives the same
+        isolation with one lock acquisition)."""
+        db = self.db
+        snap = {"kf": kf, "cand": cand, "geom_version": db.geom_version}
+        for tag, k in (("k", kf), ("c", cand)):
+            if k not in self.bow_db.kf_words:   # compute on demand (init KFs)
+                w = self.bow_db.compute_words(db.kf_desc_i8[k],
+                                              db.kf_kpt_valid[k])
+                self.bow_db.add_keyframe(k, w)
+            lm_idx = db.kf_lm_idx[k].copy()
+            lmc = np.clip(lm_idx, 0, db.n_lms - 1)
+            snap[tag] = {
+                "desc": db.kf_desc_i8[k],          # immutable once stored
+                "und": db.kf_xy_undist[k],
+                "level": db.kf_level[k].astype(np.int32),
+                "kpt_valid": db.kf_kpt_valid[k],
+                "lm_idx": lm_idx,
+                "lmok": (lm_idx >= 0) & db.lm_valid[lmc],
+                "X": db.lm_pos[lmc].copy(),        # per-slot world position
+                "pose": db.kf_pose_cw[k].copy(),
+                "words": self.bow_db.gate_words(self.bow_db.kf_words[k]),
+            }
+        return snap
+
     def validate(self, kf: int, cand: int, min_inliers: int = 20):
         """Sim3 validation: returns (R, t, s) of T_cur<-cand (candidate camera
-        coords -> current camera coords) and matched lm pairs, or None."""
-        db = self.db
-        for k in (kf, cand):     # compute words on demand (e.g. init KFs)
-            if k not in self.bow_db.kf_words:
-                w = self.bow_db.compute_words(db.kf_desc_i8[k], db.kf_kpt_valid[k])
-                self.bow_db.add_keyframe(k, w)
-        words_k = self.bow_db.kf_words[kf]
-        words_c = self.bow_db.kf_words[cand]
-        has_lm_k = (db.kf_lm_idx[kf] >= 0) & db.kf_kpt_valid[kf]
-        has_lm_c = (db.kf_lm_idx[cand] >= 0) & db.kf_kpt_valid[cand]
+        coords -> current camera coords) and matched lm pairs, or None.
+        Convenience wrapper: snapshot + validate_snapshot in one call (the
+        async loop worker splits them around the map lock)."""
+        return self.validate_snapshot(self.snapshot(kf, cand), min_inliers)
+
+    def validate_snapshot(self, snap: dict, min_inliers: int = 20):
+        sk, sc = snap["k"], snap["c"]
+        has_lm_k = sk["lmok"] & sk["kpt_valid"]
+        has_lm_c = sc["lmok"] & sc["kpt_valid"]
         gate = bow_ops.word_gate(
-            jnp.asarray(self.bow_db.gate_words(words_k)),
-            jnp.asarray(self.bow_db.gate_words(words_c)))
+            jnp.asarray(sk["words"]), jnp.asarray(sc["words"]))
         idx, dist = M.match_descriptors(
-            jnp.asarray(db.kf_desc_i8[kf]), jnp.asarray(db.kf_desc_i8[cand]),
+            jnp.asarray(sk["desc"]), jnp.asarray(sc["desc"]),
             jnp.asarray(has_lm_k), jnp.asarray(has_lm_c),
             gate=gate, max_dist=M.HAMMING_DIST_THR_LOW, ratio=0.9,
             cross_check=True,
@@ -86,21 +115,18 @@ class LoopDetector:
         if len(mk) < self.cfg.loop.min_num_bow_matches:
             return None
         mc = idx[mk]
-        lms_k = db.kf_lm_idx[kf][mk]
-        lms_c = db.kf_lm_idx[cand][mc]
-        ok = np.array([
-            lk >= 0 and lc >= 0 and db.lm_valid[lk] and db.lm_valid[lc]
-            for lk, lc in zip(lms_k, lms_c)
-        ])
-        mk, mc, lms_k, lms_c = mk[ok], mc[ok], lms_k[ok], lms_c[ok]
+        ok = has_lm_k[mk] & has_lm_c[mc]
+        mk, mc = mk[ok], mc[ok]
+        lms_k = sk["lm_idx"][mk]
+        lms_c = sc["lm_idx"][mc]
         n = len(mk)
         if n < self.cfg.loop.min_num_bow_matches:
             return None
 
-        T_k = db.kf_pose_cw[kf]
-        T_c = db.kf_pose_cw[cand]
-        pk = (T_k[:3, :3] @ db.lm_pos[lms_k].T).T + T_k[:3, 3]   # in cur cam
-        pc = (T_c[:3, :3] @ db.lm_pos[lms_c].T).T + T_c[:3, 3]   # in cand cam
+        T_k = snap["k"]["pose"]
+        T_c = snap["c"]["pose"]
+        pk = (T_k[:3, :3] @ sk["X"][mk].T).T + T_k[:3, 3]   # in cur cam
+        pc = (T_c[:3, :3] @ sc["X"][mc].T).T + T_c[:3, 3]   # in cand cam
 
         cap = max(64, 1 << int(np.ceil(np.log2(max(n, 2)))))
         p1 = np.zeros((cap, 3), np.float32)
@@ -131,17 +157,15 @@ class LoopDetector:
         # cannot ride a handful of aliased BoW hits.
         g_np = (np.asarray(g[0]), np.asarray(g[1]), float(np.asarray(g[2])))
         add_k, add_c = self._widen_matches(
-            kf, cand, g_np, set(int(i) for i in mk), set(int(i) for i in mc))
+            snap, g_np, set(int(i) for i in mk), set(int(i) for i in mc))
         if len(add_k):
             mk = np.concatenate([mk, add_k])
             mc = np.concatenate([mc, add_c])
-            lms_k = db.kf_lm_idx[kf][mk]
-            lms_c = db.kf_lm_idx[cand][mc]
+            lms_k = sk["lm_idx"][mk]
+            lms_c = sc["lm_idx"][mc]
             n = len(mk)
-            T_k = db.kf_pose_cw[kf]
-            T_c = db.kf_pose_cw[cand]
-            pk = (T_k[:3, :3] @ db.lm_pos[lms_k].T).T + T_k[:3, 3]
-            pc = (T_c[:3, :3] @ db.lm_pos[lms_c].T).T + T_c[:3, 3]
+            pk = (T_k[:3, :3] @ sk["X"][mk].T).T + T_k[:3, 3]
+            pc = (T_c[:3, :3] @ sc["X"][mc].T).T + T_c[:3, 3]
             cap = max(64, 1 << int(np.ceil(np.log2(max(n, 2)))))
             p1 = np.zeros((cap, 3), np.float32)
             p2 = np.zeros((cap, 3), np.float32)
@@ -156,11 +180,11 @@ class LoopDetector:
         uv2 = np.zeros((cap, 2), np.float32)
         s2_1 = np.ones(cap, np.float32)
         s2_2 = np.ones(cap, np.float32)
-        uv1[:n] = db.kf_xy_undist[kf][mk]
-        uv2[:n] = db.kf_xy_undist[cand][mc]
+        uv1[:n] = sk["und"][mk]
+        uv2[:n] = sc["und"][mc]
         sf = self.cfg.feature.scale_factor
-        s2_1[:n] = (sf ** db.kf_level[kf][mk]) ** 2
-        s2_2[:n] = (sf ** db.kf_level[cand][mc]) ** 2
+        s2_1[:n] = (sf ** sk["level"][mk]) ** 2
+        s2_2[:n] = (sf ** sc["level"][mc]) ** 2
         res = self.sim3_opt(
             g[0], g[1], g[2],
             p2j, p1j,                     # lm1 = cur-frame coords, lm2 = cand
@@ -173,7 +197,7 @@ class LoopDetector:
                 mk, mc, lms_k, lms_c)
 
     # ------------------------------------------------------------------
-    def _widen_matches(self, kf: int, cand: int, g, taken_k, taken_c,
+    def _widen_matches(self, snap, g, taken_k, taken_c,
                        radius_base: float = 8.0):
         """Sim3-guided projection search in both directions (ref
         match::projection in validate_candidates / ORB-SLAM SearchBySim3):
@@ -183,8 +207,8 @@ class LoopDetector:
         Both sides of a pair must carry a landmark (the transform optimizer
         needs positions in both frames).  Returns (new_k_idx, new_c_idx)
         keypoint-slot arrays.  Fixed (K_kf, K_cand) shapes — one compile per
-        keyframe capacity, not per call."""
-        db = self.db
+        keyframe capacity, not per call.  Operates on the loop snapshot (no
+        live-map reads: may run off the map lock)."""
         R, t, s = g
         sf = self.cfg.feature.scale_factor
 
@@ -192,28 +216,23 @@ class LoopDetector:
             """Project src-KF landmarks into dst-KF image; match against
             dst keypoints that carry landmarks.  Returns idx array (K_src,)
             of dst keypoint slots (-1 unmatched)."""
-            lm = db.kf_lm_idx[src]
-            a_valid = (lm >= 0) & db.kf_kpt_valid[src] & \
-                db.lm_valid[np.clip(lm, 0, db.n_lms - 1)]
+            a_valid = src["lmok"] & src["kpt_valid"]
             if len(taken_src):
                 a_valid = a_valid.copy()
                 a_valid[list(taken_src)] = False
-            X = db.lm_pos[np.clip(lm, 0, db.n_lms - 1)]
-            T_src = db.kf_pose_cw[src]
-            p_src = (T_src[:3, :3] @ X.T).T + T_src[:3, 3]
+            T_src = src["pose"]
+            p_src = (T_src[:3, :3] @ src["X"].T).T + T_src[:3, 3]
             p_dst = sg * (Rg @ p_src.T).T + tg
             uv, z, _ = self.cam.project(jnp.asarray(p_dst, jnp.float32))
             vis = jnp.asarray(a_valid) & (z > 1e-6)
-            pred_level = db.kf_level[src].astype(np.int32)
+            pred_level = src["level"]
             radius = radius_base * (sf ** pred_level.astype(np.float32))
-            b_lm = db.kf_lm_idx[dst]
-            b_valid = (b_lm >= 0) & db.kf_kpt_valid[dst] & \
-                db.lm_valid[np.clip(b_lm, 0, db.n_lms - 1)]
+            b_valid = dst["lmok"] & dst["kpt_valid"]
             idx, _ = M.projection_scale_match(
-                jnp.asarray(db.kf_desc_i8[src]), jnp.asarray(db.kf_desc_i8[dst]),
+                jnp.asarray(src["desc"]), jnp.asarray(dst["desc"]),
                 uv, vis, jnp.asarray(radius), jnp.asarray(pred_level),
-                jnp.asarray(db.kf_xy_undist[dst]),
-                jnp.asarray(db.kf_level[dst].astype(np.int32)),
+                jnp.asarray(dst["und"]),
+                jnp.asarray(dst["level"]),
                 jnp.asarray(b_valid),
                 # the reference's Sim3 search runs at the HIGH threshold
                 # (drifted descriptors): precision comes from the mutual
@@ -223,12 +242,12 @@ class LoopDetector:
             return np.asarray(idx)
 
         # direction 1: cand landmarks -> kf image  (match1[jc] = ik)
-        m1 = project_dir(cand, kf, R, t, s, taken_c)
+        m1 = project_dir(snap["c"], snap["k"], R, t, s, taken_c)
         # direction 2: kf landmarks -> cand image  (match2[ik] = jc)
         Ri = R.T
         si = 1.0 / max(s, 1e-12)
         ti = -si * (Ri @ t)
-        m2 = project_dir(kf, cand, Ri, ti, si, taken_k)
+        m2 = project_dir(snap["k"], snap["c"], Ri, ti, si, taken_k)
         new_k, new_c = [], []
         for jc in np.where(m1 >= 0)[0]:
             ik = int(m1[jc])

@@ -58,6 +58,12 @@ class MappingModule:
         self.ba_wall_s = 0.0
         self.lms_culled = 0
         self.kfs_culled = 0
+        # churn attribution (r5): creation source + cull reason
+        self.lms_created_seed = 0
+        self.lms_created_tri = 0
+        self.seeds_skipped = 0          # coverage-gated seeds not created
+        self.culled_ratio = 0           # found/visible ratio cull
+        self.culled_obs = 0             # num_obs <= 2 at age 2 cull
         # unlocked-stage results discarded because a whole-map geometry
         # rewrite landed while the device call was in flight
         self.stale_discards = 0
@@ -213,23 +219,55 @@ class MappingModule:
         """Stereo/RGBD keyframes seed landmarks from measured depth for
         unmatched close keypoints (ref keyframe_inserter depth seeding).
 
-        Deliberately UNCAPPED: the reference's seed-while-<100-close-points
-        budget was tried for churn reduction (r3 weak #5) and collapsed the
-        fast city stress run's tracked fraction 0.775 -> 0.12 — at
-        ~1 m/frame everything leaves the FOV within a few frames, so a
-        dense leading edge is what keeps tracking alive; the ~85% cull rate
-        is the price of that coverage, not waste to optimize away."""
+        COVERAGE-GATED (r5): each coverage cell receives new seeds only up
+        to ``seed_cell_budget`` total coverage (tracked landmarks count
+        toward the budget), closest depth first.  History: r3 tried the
+        reference's global seed-while-<100-close budget and the fast city
+        stress run collapsed 0.775 -> 0.12 tracked — at ~1 m/frame the
+        dense LEADING EDGE is what keeps tracking alive.  But uncapped
+        seeding re-seeds already-covered cells every keyframe, and 92% of
+        all created landmarks were culled within 2 keyframes
+        (CITY_BENCH_TPU6: 337k created / 309k culled, most of mapping
+        device time wasted).  The per-cell gate keeps the leading edge
+        dense (unmapped cells have zero coverage, so they get the full
+        budget) while covered cells stop producing doomed duplicates.
+        Mapping.seed_cell_budget <= 0 restores uncapped seeding."""
         db = self.db
         thr = getattr(self.cam, "depth_threshold", 40.0)
         has = (
             frame.valid & (frame.depth > 0) & (frame.depth < thr)
             & (db.kf_lm_idx[kf] < 0)
         )
+        cand = np.where(has & (frame.bearing[:, 2] > 1e-6))[0]
+        budget = self.cfg.mapping.seed_cell_budget
+        if budget > 0 and len(cand):
+            gr, gc = self.cfg.mapping.seed_grid
+            ch = self.cam.rows / gr
+            cw = self.cam.cols / gc
+
+            def cell_of(xy):
+                r = np.minimum((xy[:, 1] // ch).astype(int), gr - 1)
+                c = np.minimum((xy[:, 0] // cw).astype(int), gc - 1)
+                return r * gc + c
+
+            cover = np.zeros(gr * gc, np.int32)
+            tracked = np.where(db.kf_lm_idx[kf] >= 0)[0]
+            if len(tracked):
+                np.add.at(cover, cell_of(frame.xy[tracked]), 1)
+            order = cand[np.argsort(frame.depth[cand])]   # closest first
+            cells = cell_of(frame.xy[order])
+            keep = []
+            for i, c in zip(order, cells):
+                if cover[c] < budget:
+                    cover[c] += 1
+                    keep.append(i)
+            skipped = len(cand) - len(keep)
+            if skipped:
+                self.seeds_skipped += skipped
+            cand = np.asarray(keep, dtype=np.int64)
         bz = frame.bearing[:, 2]
         born = []
-        for i in np.where(has)[0]:
-            if bz[i] <= 1e-6:
-                continue
+        for i in cand:
             T = db.kf_pose_cw[kf]
             Xc = frame.bearing[i] * (frame.depth[i] / bz[i])
             Xw = T[:3, :3].T @ (Xc - T[:3, 3])
@@ -240,6 +278,7 @@ class MappingModule:
             born.append(lm)
             self.recent_lms.append((lm, kf))
         self.lms_created += len(born)
+        self.lms_created_seed += len(born)
         db.update_landmark_geometry_batch(
             born, self.cfg.feature.scale_factor, self.num_levels)
 
@@ -257,9 +296,11 @@ class MappingModule:
             if ratio < 0.25 and age >= 2:
                 db.erase_landmark(lm)
                 self.lms_culled += 1
+                self.culled_ratio += 1
             elif age >= 2 and db.lm_num_obs[lm] <= 2:
                 db.erase_landmark(lm)
                 self.lms_culled += 1
+                self.culled_obs += 1
             elif age >= 3:
                 pass          # graduated: stop monitoring
             else:
@@ -389,6 +430,7 @@ class MappingModule:
                 born.append(lm)
                 self.recent_lms.append((lm, kf))
             self.lms_created += len(born)
+            self.lms_created_tri += len(born)
             db.update_landmark_geometry_batch(
                 born, self.cfg.feature.scale_factor, self.num_levels)
             db.update_connections(kf)

@@ -76,6 +76,14 @@ class TrackerState(enum.Enum):
 
 class TrackingModule:
     LOCAL_LM_CAP = 4096          # padded local-map landmark capacity
+    # keyframe decay rule (cond_d): insert when the tracked count falls
+    # below this fraction of its post-KF peak.  Class attribute so the
+    # sensitivity tests (tests/test_heuristic_sensitivity.py) sweep it —
+    # the rule must degrade gracefully, not cliff, across +-50%
+    KF_PEAK_DECAY = 0.5
+    # damped lead-N prediction window W = PRED_WINDOW_MULT * lead (see
+    # _predict_pose); swept by the sensitivity tests
+    PRED_WINDOW_MULT = 2
 
     def __init__(self, cfg, cam, map_db, mapper=None, relocalizer=None):
         self.cfg = cfg
@@ -116,6 +124,11 @@ class TrackingModule:
         self.pred_hist_misses = 0
         # capacity-overflow accounting (SURVEY §7 hard part 1)
         self.overflow: dict = {}
+        # cumulative seconds the tracking thread spent BLOCKED on fused-step
+        # result fetches (device compute + link RTT residual) — the
+        # link-wait component of wall time, reported by bench.py so
+        # "the wall rate is the tunnel, not the system" is a measured claim
+        self.fetch_wait_s = 0.0
         # post-loss grace relocalization (r4: a leading-edge loss used to
         # stay Lost until map RE-ENTRY — ~1000 untracked frames on the city
         # circuit — although the first frames after the loss still overlap
@@ -570,7 +583,8 @@ class TrackingModule:
         under rotation (tools/depth_sweep.py measures this)."""
         if lead >= 2:
             best_fid = None
-            lo = lf.frame_id - 2 * lead      # preferred window: W = 2·lead
+            # preferred window: W = PRED_WINDOW_MULT·lead (default 2·lead)
+            lo = lf.frame_id - self.PRED_WINDOW_MULT * lead
             hi = lf.frame_id - lead          # minimum usable window: W = lead
             for fid, pose in self._pose_hist:
                 if lo <= fid <= hi and (best_fid is None or fid < best_fid):
@@ -681,7 +695,10 @@ class TrackingModule:
         lm_ids, n = handle["lm_ids"], handle["n"]
         cand, n_loc = handle["cand"], handle["n_loc"]
         P, L = handle["P"], handle["L"]
+        import time as _time
+        _tf = _time.perf_counter()
         res = handle["fetch"].result()   # np arrays, fetched by the worker
+        self.fetch_wait_s += _time.perf_counter() - _tf
         from ..models.track_step import unpack_bits_host
         frame = Frame(
             frame_id=frame_id, timestamp=timestamp,
@@ -821,7 +838,8 @@ class TrackingModule:
         # just above the lost threshold.  Insert when the count halves from
         # its post-KF peak so triangulation refills the leading edge early.
         cond_d = (frames_since >= 1
-                  and self.num_tracked < 0.5 * self._peak_tracked)
+                  and self.num_tracked < self.KF_PEAK_DECAY
+                  * self._peak_tracked)
         enough = self.num_tracked > 15
         # ref keyframe_inserter parity ([U:module/keyframe_inserter]): the
         # mapping queue gates insertion.  With async mapping saturated

@@ -92,54 +92,79 @@ class MultihostSessionPool:
         Returns the pooled robust cost, or None when the global pool is too
         small (consistent across hosts — decided from allgathered counts).
         """
+        from ..camera.base import camera_to_config
+        from ..optimize import residuals as R
+
         built = pool_sessions(self.systems)
+        # local facts for the control plane: sizes, stereo-ness, whether
+        # this host's pool already mixes cameras, and (single-camera pools)
+        # the camera vector — hosts with DIFFERENT cameras make the global
+        # pool mixed even when each host is single-camera
+        camv_local = np.zeros(R.CAMV_DIM, np.float32)
         if built is None:
-            # still must participate in the collectives with empty blocks
             n_c = n_l = n_o = 0
             stereo = all(getattr(s.cam, "setup", None) is not None and
                          s.cam.setup.name != "MONOCULAR"
                          for s in self.systems)
+            mc_local = False
+        else:
+            prob = built["prob"]
+            n_c = int(np.asarray(prob.cam_valid).sum())
+            n_l = int(np.asarray(prob.lm_valid).sum())
+            n_o = int(np.asarray(prob.obs_mask).sum())
+            stereo = built["stereo"]
+            mc_local = built["multicam"]
+        if not mc_local and self.systems:
+            camv_local = R.make_camv(
+                camera_to_config(self.systems[0].cam)).astype(np.float32)
+
+        # ---- control plane: counts + camera agreement + offsets --------
+        counts = multihost.process_allgather(np.asarray(
+            [n_c, n_l, n_o, 1 if stereo else 0, 1 if mc_local else 0],
+            np.int64)).reshape(-1, 5)
+        camvs = multihost.process_allgather(camv_local).reshape(
+            len(counts), -1)
+        if int(counts[:, 0].sum()) < 3 or int(counts[:, 1].sum()) < 30:
+            return None
+        data_hosts = np.where(counts[:, 0] > 0)[0]
+        # global edge type (identical decision on every host): mixed-camera
+        # if any contributing host is mixed, or contributing hosts' cameras
+        # differ; else stereo only if every contributing host is stereo
+        multicam = bool(counts[data_hosts, 4].any()) or not all(
+            np.array_equal(camvs[h], camvs[data_hosts[0]])
+            for h in data_hosts)
+        stereo = bool(counts[data_hosts, 3].all()) and not multicam
+        D = 2 + R.CAMV_DIM if multicam else (3 if stereo else 2)
+
+        # ---- local blocks at the agreed observation width --------------
+        if built is None:
             T_loc = np.zeros((0, 4, 4), np.float32)
             opt_loc = np.zeros(0, bool)
             X_loc = np.zeros((0, 3), np.float32)
             obs_loc = (np.zeros(0, np.int32), np.zeros(0, np.int32),
-                       np.zeros((0, 3), np.float32), np.zeros(0, np.float32))
+                       np.zeros((0, D), np.float32), np.zeros(0, np.float32))
         else:
-            if built["multicam"]:
-                raise NotImplementedError(
-                    "cross-host pooled BA requires a shared camera per pool "
-                    "(the multicam per-obs-intrinsics edge is single-host "
-                    "only for now)")
-            prob = built["prob"]
-            cam_valid = np.asarray(prob.cam_valid)
-            om = np.asarray(prob.obs_mask)
-            n_c = int(cam_valid.sum())
-            n_l = int(np.asarray(prob.lm_valid).sum())
-            n_o = int(om.sum())
-            stereo = built["stereo"]
-            D = 3 if stereo else 2
             T_loc = np.asarray(prob.T_cw)[:n_c]
             opt_loc = np.asarray(prob.cam_opt)[:n_c]
             X_loc = np.asarray(prob.X)[:n_l]
             ouv = np.asarray(prob.obs_uv)[:n_o]
-            if ouv.shape[1] < 3:
+            if multicam and not mc_local:
+                # single-camera host in a mixed pool: monocular (u,v) plus
+                # this host's camera vector on every observation
                 ouv = np.concatenate(
-                    [ouv, np.full((n_o, 3 - ouv.shape[1]), -1.0,
-                                  np.float32)], axis=1)
+                    [ouv[:, :2], np.tile(camv_local, (n_o, 1))], axis=1)
+            elif not multicam and ouv.shape[1] != D:
+                if ouv.shape[1] > D:        # stereo host, mono pool
+                    ouv = ouv[:, :D]
+                else:                       # mono host, stereo pool
+                    ouv = np.concatenate(
+                        [ouv, np.full((n_o, D - ouv.shape[1]), -1.0,
+                                      np.float32)], axis=1)
             obs_loc = (np.asarray(prob.obs_cam)[:n_o],
                        np.asarray(prob.obs_lm)[:n_o],
                        ouv.astype(np.float32),
                        np.asarray(prob.obs_sigma2)[:n_o])
 
-        # ---- control plane: counts + offsets --------------------------
-        counts = multihost.process_allgather(
-            np.asarray([n_c, n_l, n_o, 1 if stereo else 0], np.int64))
-        counts = counts.reshape(-1, 4)
-        if int(counts[:, 0].sum()) < 3 or int(counts[:, 1].sum()) < 30:
-            return None
-        if not (counts[:, 3] == counts[0, 3]).all():
-            raise ValueError("hosts disagree on stereo-ness of the pool")
-        stereo = bool(counts[0, 3])
         cam_off = np.zeros(len(counts) + 1, np.int64)
         cam_off[1:] = np.cumsum(counts[:, 0])
         lm_off = np.zeros(len(counts) + 1, np.int64)
@@ -167,7 +192,6 @@ class MultihostSessionPool:
         C = max(8, 1 << int(np.ceil(np.log2(n_cg))))
         L = max(64, 1 << int(np.ceil(np.log2(n_lg))))
         O = max(256, 1 << int(np.ceil(np.log2(max(n_og, 2)))))
-        D = 3 if stereo else 2
         T = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
         cam_opt = np.zeros(C, bool)
         cam_valid = np.zeros(C, bool)
@@ -189,7 +213,7 @@ class MultihostSessionPool:
             sl = slice(o_at, o_at + oh)
             oc[sl] = oc_all[h, :oh] + cam_off[h]
             ol[sl] = ol_all[h, :oh] + lm_off[h]
-            ouv[sl] = ouv_all[h, :oh, :D]
+            ouv[sl] = ouv_all[h, :oh]
             osg[sl] = osg_all[h, :oh]
             omk[sl] = True
             o_at += oh
@@ -202,10 +226,11 @@ class MultihostSessionPool:
 
         # ---- sharded solve over the process-spanning mesh -------------
         cam = self.systems[0].cam
-        key = (stereo, iters)
+        key = (stereo, multicam, iters)
         if self._solver is None or self._solver_key != key:
             _, self._solver = multihost.make_multihost_ba(
-                cam, stereo=stereo, iters=iters, axis=self.axis)
+                cam, stereo=stereo, iters=iters, axis=self.axis,
+                multicam=multicam)
             self._solver_key = key
         T_out, X_out, cost = self._solver(gprob)
 

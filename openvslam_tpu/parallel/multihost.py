@@ -116,13 +116,19 @@ def assign_keyframe_ranges(counts_local: int) -> np.ndarray:
 
 
 def make_multihost_ba(cam, stereo: bool = False, iters: int = 10,
-                      axis: str = "shard"):
+                      axis: str = "shard", multicam: bool = False):
     """Distributed BA over the global (process-spanning) mesh.  Returns
     (mesh, solve) where solve(prob: optimize.ba.BAProblem) partitions the
     problem over every device of every host and runs the shard_map program;
-    its psums cross the host boundary over DCN (gloo on the CPU sim)."""
+    its psums cross the host boundary over DCN (gloo on the CPU sim).
+    multicam=True switches to the per-observation-intrinsics monocular
+    edge (observation columns 2.. carry each edge's camera vector) —
+    mixed-camera pools across hosts."""
     mesh = global_mesh(axis)
-    opt = make_distributed_ba(cam, mesh, stereo=stereo, iters=iters, axis=axis)
+    from ..optimize import residuals as R
+    opt = make_distributed_ba(
+        cam, mesh, stereo=stereo, iters=iters, axis=axis,
+        res_fn_override=R.make_multicam_mono_residual() if multicam else None)
 
     def solve(prob):
         sp = partition_problem(prob, int(mesh.devices.size))

@@ -88,7 +88,16 @@ class System:
         if async_mapping:
             self.mapper.map_lock = self.map_lock
             tracker_mapper = _AsyncMapperProxy(self.mapper, self.map_lock)
+            # loop detection/validation/correction on its own worker (ref:
+            # the global optimization module is the third thread); the
+            # worker pauses the mapper via the proxy during corrections
+            self.global_optimizer.mapper_proxy = tracker_mapper
+            self.global_optimizer.start_loop_worker()
         self._tracker_mapper = tracker_mapper
+        # feed-path backpressure accounting (observable in stats())
+        self._pace_waits = 0
+        self._pace_wait_s = 0.0
+        self._pace_wait_max = 0.0
         self.tracker = TrackingModule(
             cfg, self.cam, self.map_db, mapper=tracker_mapper,
             relocalizer=getattr(self.global_optimizer, "relocalizer", None),
@@ -121,6 +130,11 @@ class System:
         self._fused_frames = 0
         self._autosave = None
         self.trajectory: List[tuple] = []   # (timestamp, pose_cw or None)
+        # per-frame reference-keyframe anchor (ref trajectory_io: frame
+        # poses are recorded RELATIVE to their reference keyframe so loop /
+        # BA corrections that move keyframes after the frame was tracked
+        # reach the frame trajectory retroactively): (ref_kf, T_rel) or None
+        self.traj_ref: List[Optional[tuple]] = []
         self.track_times: List[float] = []  # per-frame wall time (ref track_times)
         self.mapping_enabled = True
         self._async = async_mapping
@@ -147,6 +161,9 @@ class System:
         if self._async and isinstance(self._tracker_mapper, _AsyncMapperProxy):
             self._tracker_mapper.drain()
         if self.global_optimizer is not None:
+            # drain the loop worker AFTER the mapper (mapping enqueues loop
+            # checks), BEFORE joining the global BA it may dispatch
+            self.global_optimizer.stop_loop_worker()
             self.global_optimizer.join_global_ba(timeout=120)
         self.tracker.close()
         self._running = False
@@ -220,8 +237,11 @@ class System:
             go.loop_detector.db = self.map_db
             go.relocalizer.db = self.map_db
             go.last_loop_kf = -1
+            with go._loop_qlock:
+                go._loop_queue.clear()
         self.map_publisher = MapPublisher(self.map_db)
         self.trajectory.clear()
+        self.traj_ref.clear()
 
     # ------------------------------------------------------------------
     def _use_fused(self) -> bool:
@@ -266,9 +286,23 @@ class System:
         # triangulation enough to degrade quality and stretch the shutdown
         # drain (measured: mono bench ATE 0.010->0.051 and wall fps 19->7
         # with mono exempted from pacing)
-        wait = getattr(self._tracker_mapper, "wait_for_backlog", None)
-        if wait is not None and self._tracker_mapper.backlog >= 2:
-            wait(max_backlog=1)
+        proxy = self._tracker_mapper
+        wait = getattr(proxy, "wait_for_backlog", None)
+        if wait is None or proxy.backlog < 2:
+            return
+        # bound any single feed-call wait to ~2x the median per-KF mapping
+        # time (floor 0.5 s for cold-compile jitter): the feed must degrade
+        # toward the mapper's real throughput, never park behind a stuck
+        # stage — loop corrections run on their own worker now, and
+        # wait_for_backlog early-outs while the mapper is paused
+        times = proxy.kf_proc_times
+        bound = max(0.5, 2.0 * float(np.median(times))) if times else 5.0
+        t0 = time.perf_counter()
+        wait(max_backlog=1, timeout=bound)
+        dt = time.perf_counter() - t0
+        self._pace_waits += 1
+        self._pace_wait_s += dt
+        self._pace_wait_max = max(self._pace_wait_max, dt)
 
     def feed_monocular_frame(self, image: np.ndarray, timestamp: float,
                              mask: Optional[np.ndarray] = None):
@@ -295,7 +329,7 @@ class System:
                 pose = tr.track(frame)
         self.track_times.append(_time.perf_counter() - _t0)
         self._publish(frame, pose, image=img)
-        self.trajectory.append((timestamp, None if pose is None else pose.copy()))
+        self._append_trajectory(timestamp, pose)
         return pose
 
     def feed_stereo_frame(self, left: np.ndarray, right: np.ndarray,
@@ -336,7 +370,7 @@ class System:
                 pose = tr.track(frame)
         self.track_times.append(_time.perf_counter() - _t0)
         self._publish(frame, pose, image=l_img)
-        self.trajectory.append((timestamp, None if pose is None else pose.copy()))
+        self._append_trajectory(timestamp, pose)
         return pose
 
     def feed_RGBD_frame(self, rgb: np.ndarray, depthmap: np.ndarray,
@@ -380,7 +414,7 @@ class System:
                 pose = tr.track(frame)
         self.track_times.append(_time.perf_counter() - _t0)
         self._publish(frame, pose, image=img)
-        self.trajectory.append((timestamp, None if pose is None else pose.copy()))
+        self._append_trajectory(timestamp, pose)
         return pose
 
     # ------------------------------------------------------------------
@@ -476,8 +510,7 @@ class System:
             self._fused_frames += 1
             self.pipe_stats["finish_s"].append(_time.perf_counter() - _t0)
             self._publish(frame, pose, image=flight["img"])
-            self.trajectory.append(
-                (flight["ts"], None if pose is None else pose.copy()))
+            self._append_trajectory(flight["ts"], pose)
             return pose
 
         def _tracking_ok():
@@ -574,6 +607,22 @@ class System:
             target=_write, daemon=True, name="map-autosave")
         self._autosave_thread.start()
 
+    def _append_trajectory(self, ts: float, pose):
+        """Record the frame pose plus its reference-KF-relative anchor."""
+        self.trajectory.append((ts, None if pose is None else pose.copy()))
+        if pose is None:
+            self.traj_ref.append(None)
+            return
+        db = self.map_db
+        ref = self.tracker.ref_kf
+        with self.map_lock:
+            if 0 <= ref < db.n_kfs and db.kf_valid[ref]:
+                rel = (pose @ np.linalg.inv(db.kf_pose_cw[ref])).astype(
+                    np.float32)
+                self.traj_ref.append((int(ref), rel))
+            else:
+                self.traj_ref.append(None)
+
     def _publish(self, frame, pose, image=None):
         self.frame_publisher.publish(frame, self.tracker.state.name, image=image)
         self._maybe_autosave()
@@ -591,10 +640,57 @@ class System:
         return image
 
     # ------------------------------------------------------------------
-    def save_frame_trajectory(self, path: str, fmt: str = "TUM"):
-        ts = [t for t, p in self.trajectory if p is not None]
-        poses = np.stack([p for _, p in self.trajectory if p is not None]) \
-            if any(p is not None for _, p in self.trajectory) else np.zeros((0, 4, 4))
+    def composed_poses(self):
+        """(timestamps, poses_cw, tracked_mask) with each frame's pose
+        COMPOSED from its save-time reference keyframe: pose = T_rel @
+        T_refkf_cw_NOW (ref trajectory_io::save_frame_trajectory).  Loop
+        corrections, pose-graph and global-BA rewrites that moved keyframes
+        after a frame was tracked propagate to that frame retroactively —
+        the raw live-tracking trajectory (tracked_poses) keeps pre-loop
+        drift baked in for every frame fed before the closure.  Culled
+        reference keyframes compose through their cull-time spanning-tree
+        parent chain (data.MapDatabase.culled_rel)."""
+        db = self.map_db
+        ts = np.array([t for t, _ in self.trajectory])
+        mask = np.array([p is not None for _, p in self.trajectory])
+        poses = np.zeros((len(self.trajectory), 4, 4), np.float32)
+        with self.map_lock:
+            for i, (_, p) in enumerate(self.trajectory):
+                if p is None:
+                    poses[i] = np.eye(4, dtype=np.float32)
+                    continue
+                ref = self.traj_ref[i] if i < len(self.traj_ref) else None
+                if ref is None:
+                    poses[i] = p
+                    continue
+                kf, rel = ref
+                hops = 0
+                while (0 <= kf < db.n_kfs and not db.kf_valid[kf]
+                       and kf in db.culled_rel and hops < 256):
+                    parent, prel = db.culled_rel[kf]
+                    rel = rel @ prel
+                    kf = parent
+                    hops += 1
+                if 0 <= kf < db.n_kfs and db.kf_valid[kf]:
+                    poses[i] = rel @ db.kf_pose_cw[kf]
+                else:
+                    poses[i] = p
+        return ts, poses, mask
+
+    def save_frame_trajectory(self, path: str, fmt: str = "TUM",
+                              composed: bool = True):
+        """Write the frame trajectory (TUM or KITTI format).  composed=True
+        (the reference behavior) recomposes each pose from its reference
+        keyframe's current pose so post-hoc corrections are included;
+        composed=False writes the raw live-tracking poses."""
+        if composed:
+            ts_a, poses_a, mask = self.composed_poses()
+            ts = list(ts_a[mask])
+            poses = poses_a[mask]
+        else:
+            ts = [t for t, p in self.trajectory if p is not None]
+            poses = np.stack([p for _, p in self.trajectory if p is not None]) \
+                if any(p is not None for _, p in self.trajectory) else np.zeros((0, 4, 4))
         if fmt.upper() == "TUM":
             trajectory_io.save_trajectory_tum(path, ts, poses)
         else:
@@ -611,8 +707,15 @@ class System:
 
     def stats(self) -> dict:
         """Observability counters (ref publish metrics: tracked landmarks,
-        KF count, frames/s; SURVEY.md §5.5)."""
+        KF count, frames/s; SURVEY.md §5.5).  Takes the map lock: counters
+        are read while the async mapping worker may be mutating (and
+        growing) the map arrays."""
+        with self.map_lock:
+            return self._stats_locked()
+
+    def _stats_locked(self) -> dict:
         tt = np.array(self.track_times) if self.track_times else np.zeros(1)
+        proxy = self._tracker_mapper
         return {
             "state": self.tracker.state.name,
             "frames_fed": self.frame_id,
@@ -632,6 +735,19 @@ class System:
             # geometry rewrite landed mid-flight (versioned application)
             "stale_discards": self.mapper.stale_discards,
             "pred_hist_misses": self.tracker.pred_hist_misses,
+            # feed-path backpressure accounting (VERDICT r4 #7: stalls must
+            # be observable in every artifact)
+            "pace_waits": self._pace_waits,
+            "pace_wait_s": round(self._pace_wait_s, 4),
+            "pace_wait_max_s": round(self._pace_wait_max, 4),
+            "pace_timeouts": getattr(proxy, "timeouts_hit", 0),
+            # loop-worker state (0/absent in sync mode)
+            "loop_backlog": (
+                self.global_optimizer.loop_backlog
+                if self.global_optimizer is not None else 0),
+            "loop_stale_discards": (
+                self.global_optimizer.loop_stale_discards
+                if self.global_optimizer is not None else 0),
             "ba_iters_per_s": (
                 self.mapper.ba_iters_total / self.mapper.ba_wall_s
                 if self.mapper.ba_wall_s > 0 else 0.0),
@@ -702,15 +818,39 @@ class _AsyncMapperProxy:
         self._future = None
         self._resume_evt = threading.Event()
         self._resume_evt.set()
+        # drain-progress event: set after every processed keyframe so
+        # wait_for_backlog can wait on progress instead of sleep-polling
+        self._progress_evt = threading.Event()
+        # per-keyframe processing wall times (bounds the feed-path pace
+        # timeout at ~2x the median; see System._pace_mapper)
+        self.kf_proc_times = collections.deque(maxlen=32)
+        self.timeouts_hit = 0
 
-    def pause(self):
+    def pause(self, wait: bool = False):
+        """Request pause; with wait=True block until the in-flight keyframe
+        (if any) finishes — used by the loop worker before a correction
+        (ref: loop correction pauses mapping and waits).  Must be called
+        WITHOUT the map lock held: the in-flight keyframe needs the lock
+        to finish."""
         self._resume_evt.clear()
+        if wait:
+            with self._qlock:
+                fut = self._future
+            if fut is not None:
+                fut.result()
 
     def resume(self):
         self._resume_evt.set()
         with self._qlock:
             if self.queue and (self._future is None or self._future.done()):
-                self._future = self.pool.submit(self._drain)
+                try:
+                    self._future = self.pool.submit(self._drain)
+                except RuntimeError:
+                    pass        # pool already shut down (System.shutdown)
+
+    @property
+    def paused(self) -> bool:
+        return not self._resume_evt.is_set()
 
     # passthroughs used by the tracker
     def after_initialization(self, kf1, kf2):
@@ -739,12 +879,31 @@ class _AsyncMapperProxy:
         synchronous mapping instead of accumulating unculled stereo seeds
         (which balloon the local map and collapse the inlier count —
         observed on the 800-kpt city circuit where per-KF mapping cost
-        exceeds the KF interval on a remote-tunnel device)."""
+        exceeds the KF interval on a remote-tunnel device).
+
+        Returns True if the backlog drained, False on early-out.  Early-outs
+        (no point waiting): the mapper is PAUSED (a loop correction is in
+        flight, or a viewer called pause_other_threads — the queue cannot
+        shrink, so waiting would burn the full timeout per fed frame), or
+        the timeout expires (logged: silent 30 s/frame stalls were
+        undiagnosable in the r4 city artifacts)."""
         deadline = time.time() + timeout
-        while time.time() < deadline:
+        while True:
             if self.backlog <= max_backlog:
-                return
-            time.sleep(0.005)
+                return True
+            if not self._resume_evt.is_set():
+                return False          # paused: the queue cannot drain
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                self.timeouts_hit += 1
+                _log.warning(
+                    "wait_for_backlog timed out after %.1fs "
+                    "(backlog %d > %d); feeding anyway",
+                    timeout, self.backlog, max_backlog)
+                return False
+            # wait on drain progress, not a fixed-rate poll
+            self._progress_evt.clear()
+            self._progress_evt.wait(min(remaining, 0.25))
 
     def insert_keyframe(self, frame) -> int:
         # store synchronously (caller already holds the map lock)
@@ -765,11 +924,25 @@ class _AsyncMapperProxy:
                 kf = self.queue.popleft()
                 backlog = len(self.queue) > 0
             # BA aborted (skipped) when newer keyframes are waiting
+            t0 = time.perf_counter()
             self.mapper.process_keyframe(kf, run_ba=not backlog)
+            self.kf_proc_times.append(time.perf_counter() - t0)
+            self._progress_evt.set()
 
     def drain(self):
-        with self._qlock:
-            fut = self._future
-        if fut is not None:
-            fut.result()
+        """Process everything still queued, then stop the worker.  The loop
+        worker may briefly hold this proxy paused mid-shutdown (a correction
+        in flight) — wait for the resume instead of abandoning the queue."""
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            with self._qlock:
+                fut = self._future
+            if fut is not None:
+                fut.result()
+            with self._qlock:
+                pending = bool(self.queue)
+            if not pending:
+                break
+            if self._resume_evt.wait(timeout=5.0):
+                self.resume()       # resubmit the drain future
         self.pool.shutdown(wait=True)

@@ -123,11 +123,15 @@ def test_depth2_pipeline_quality():
     assert tracked > 0.85 * n, f"tracked {tracked}/{n}"
     assert s._fused_frames > 0.7 * n
     ate = _sim3_ate(s, poses_gt)
-    # 0.15: the r4 rotation-damped windowed prediction (NOTES.md) trades a
+    # 0.12: the r4 rotation-damped windowed prediction (NOTES.md) trades a
     # little gentle-orbit precision (measured 0.111 m here, was <0.08 with
     # the raw lead-N displacement) for stability under sustained yaw
-    # (rotating-lap depth-3 ATE 1.67 -> 0.35 m) — same accuracy class
-    assert ate < 0.15, f"depth-2 ATE {ate:.3f} m"
+    # (rotating-lap depth-3 ATE 1.67 -> 0.35 m) — same accuracy class.
+    # Margin sits just above the measured value so a further regression on
+    # this path fails loudly (r4 advisor: 0.15 hid ~35% headroom); the
+    # rotating-lap side of the trade-off is pinned by test_predict_pose's
+    # rotating-stereo-lap thresholds.
+    assert ate < 0.12, f"depth-2 ATE {ate:.3f} m"
 
 
 def test_rgbd_pipelined():

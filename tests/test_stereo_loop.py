@@ -21,8 +21,13 @@ from openvslam_tpu.utils import synthetic, evaluate
 BASELINE = 0.25  # metres
 
 
-@pytest.fixture(scope="module")
-def stereo_lap_run():
+@pytest.fixture(scope="module", params=["sync", "async"])
+def stereo_lap_run(request):
+    """Runs the lap twice: synchronous mapping (deterministic), and async
+    mapping — the r5 three-thread architecture, where loop detection/
+    validation/correction runs on the dedicated loop worker which pauses
+    the mapping proxy during the correction (ref §3.4 concurrency
+    contract, exercised organically end to end)."""
     rows, cols = 240, 320
     cfg = Config.from_dict({
         "Camera": {
@@ -47,7 +52,8 @@ def stereo_lap_run():
     shift = np.eye(4)
     shift[0, 3] = -BASELINE               # right camera in the left frame
 
-    s = System(cfg, vocab_path="default")
+    s = System(cfg, vocab_path="default",
+               async_mapping=request.param == "async")
     s.startup()
     tracked = []
     for i in range(n_frames):

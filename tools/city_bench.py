@@ -122,6 +122,9 @@ def main():
     ap.add_argument("--pipeline-depth", type=int, default=1,
                     help=">1 uses feed_sequence with this pipeline depth")
     ap.add_argument("--async-mapping", action="store_true")
+    ap.add_argument("--seed-budget", type=int, default=8,
+                    help="per-cell depth-seed coverage budget "
+                         "(Mapping.seed_cell_budget; 0 = uncapped)")
     ap.add_argument("--cache-dir", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".cache"))
@@ -150,6 +153,7 @@ def main():
                    "depth_threshold": 40.0},
         "Feature": {"max_num_keypts": args.max_keypts,
                     "num_levels": args.levels, "scale_factor": 1.2},
+        "Mapping": {"seed_cell_budget": args.seed_budget},
         "LoopDetector": {"enabled": True, "min_continuity": 2},
     })
     cam = cfg.camera
@@ -218,6 +222,17 @@ def main():
         g = np.stack([-poses_gt[i][:3, :3].T @ poses_gt[i][:3, 3]
                       for i in np.where(mask)[0]])
         ate_frames = float(evaluate.ate_rmse(e, g, align="se3"))
+    # reference-parity composed trajectory: frame poses re-anchored to
+    # their reference keyframe's FINAL pose (loop/BA corrections reach
+    # frames fed before the closure) — the number the reference's
+    # save_frame_trajectory would produce
+    ate_composed = float("nan")
+    _, poses_comp, maskc = s.composed_poses()
+    if maskc.sum() > 10:
+        e = np.stack([-p[:3, :3].T @ p[:3, 3] for p in poses_comp[maskc]])
+        g = np.stack([-poses_gt[i][:3, :3].T @ poses_gt[i][:3, 3]
+                      for i in np.where(maskc)[0]])
+        ate_composed = float(evaluate.ate_rmse(e, g, align="se3"))
     db = s.map_db
     ids = db.valid_kf_ids()
     ek = np.stack([-db.kf_pose_cw[k][:3, :3].T @ db.kf_pose_cw[k][:3, 3]
@@ -225,6 +240,37 @@ def main():
     gk = np.stack([-poses_gt[f][:3, :3].T @ poses_gt[f][:3, 3]
                    for f in db.kf_src_frame[ids]])
     ate_kf = float(evaluate.ate_rmse(ek, gk, align="se3"))
+
+    # odometric drift breakdown, corner vs straight (VERDICT r4 #3c: where
+    # does the sag build?).  Alignment-free relative-pose error over a
+    # 10-frame window; frames classified by the GT yaw rate.
+    def _drift_breakdown(window=10, corner_deg_per_frame=0.5):
+        rows = {"straight": [], "corner": []}
+        gt = np.stack(poses_gt[:n_feed])
+        for i in range(n_feed - window):
+            if not (mask[i] and mask[i + window]):
+                continue
+            D_e = poses_est[i + window] @ np.linalg.inv(poses_est[i])
+            D_g = gt[i + window] @ np.linalg.inv(gt[i])
+            E = D_e @ np.linalg.inv(D_g)
+            ang = np.degrees(np.arccos(
+                np.clip((np.trace(E[:3, :3]) - 1) / 2, -1, 1)))
+            terr = float(np.linalg.norm(E[:3, 3]))
+            gang = np.degrees(np.arccos(
+                np.clip((np.trace(D_g[:3, :3]) - 1) / 2, -1, 1)))
+            kind = ("corner" if gang / window > corner_deg_per_frame
+                    else "straight")
+            rows[kind].append((ang / window, terr / window))
+        out = {}
+        for kind, v in rows.items():
+            if v:
+                a = np.array(v)
+                out[kind] = {
+                    "frames": len(v),
+                    "mean_rot_deg_per_frame": round(float(a[:, 0].mean()), 4),
+                    "mean_trans_m_per_frame": round(float(a[:, 1].mean()), 4),
+                }
+        return out
 
     tt = np.array(s.track_times)
     report = {
@@ -235,7 +281,9 @@ def main():
         "landmarks": st["num_landmarks"],
         "loops_closed": st["loops_closed"],
         "ate_se3_frames_m": round(ate_frames, 3),
+        "ate_se3_frames_composed_m": round(ate_composed, 3),
         "ate_se3_keyframes_m": round(ate_kf, 3),
+        "drift": _drift_breakdown(),
         "wall_s": round(wall, 1),
         "system_fps": round(n_feed / wall, 1),
         "median_track_ms": round(float(np.median(tt) * 1000), 2),
@@ -247,7 +295,22 @@ def main():
         "lms_culled": s.mapper.lms_culled,
         "cull_frac": round(s.mapper.lms_culled
                            / max(s.mapper.lms_created, 1), 3),
+        "churn": {
+            "created_seed": s.mapper.lms_created_seed,
+            "created_tri": s.mapper.lms_created_tri,
+            "seeds_skipped": s.mapper.seeds_skipped,
+            "culled_ratio": s.mapper.culled_ratio,
+            "culled_obs": s.mapper.culled_obs,
+        },
+        "mapper_phase_s": {k: round(v, 1)
+                           for k, v in s.mapper.phase_s.items()},
         "stale_discards": st.get("stale_discards", 0),
+        # feed-path backpressure + loop-worker observability (r5)
+        "pace_waits": st.get("pace_waits", 0),
+        "pace_wait_s": st.get("pace_wait_s", 0.0),
+        "pace_wait_max_s": st.get("pace_wait_max_s", 0.0),
+        "pace_timeouts": st.get("pace_timeouts", 0),
+        "loop_stale_discards": st.get("loop_stale_discards", 0),
     }
     print(json.dumps(report, indent=2))
     if args.out:
