@@ -75,6 +75,13 @@ class MappingConfig:
     # --seed-budget) until the long-course A/B justifies flipping it.
     seed_cell_budget: int = 0
     seed_grid: tuple = (6, 8)          # (rows, cols) coverage cells
+    # danger bypass for the cell gate: when the keyframe tracks fewer than
+    # this many CLOSE landmarks, seed uncapped (the reference's global
+    # seed-while-<100-close rule, used here as a safety floor: the r5 A/B
+    # showed a hard cell cap starves the leading edge exactly when inlier
+    # counts dip — city lost at frame ~910 with budget 8, tracked clean
+    # uncapped)
+    seed_close_floor: int = 100
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,6 +137,7 @@ class Config:
             baseline_dist_thr_ratio=float(mp.get("baseline_dist_thr_ratio", 0.02)),
             redundant_obs_ratio_thr=float(mp.get("redundant_obs_ratio_thr", 0.9)),
             seed_cell_budget=int(mp.get("seed_cell_budget", 0)),
+            seed_close_floor=int(mp.get("seed_close_floor", 100)),
         )
         lp = d.get("LoopDetector", {})
         loop = LoopConfig(

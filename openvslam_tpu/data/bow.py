@@ -41,6 +41,14 @@ class Vocabulary:
             jnp.asarray(valid),
         ))
 
+    def assign_batch(self, desc_b, valid_b) -> np.ndarray:
+        """(B,K,256) -> (B,K) word ids in ONE device call."""
+        import jax.numpy as jnp
+        return np.asarray(bow_ops.assign_words_batch(
+            jnp.asarray(desc_b), jnp.asarray(self.centers_i8),
+            jnp.asarray(valid_b),
+        ))
+
     def gate_ids(self, words: np.ndarray) -> np.ndarray:
         """Ids used for match gating (ref match::bow_tree direct index).
         Flat vocabulary: the words themselves."""
@@ -120,6 +128,16 @@ class TreeVocabulary:
         import jax.numpy as jnp
         return np.asarray(bow_ops.tree_assign_words(
             jnp.asarray(desc_i8), jnp.asarray(valid),
+            tuple(jnp.asarray(c) for c in self.level_centers),
+            tuple(jnp.asarray(v) for v in self.level_valid),
+            self.k,
+        ))
+
+    def assign_batch(self, desc_b, valid_b) -> np.ndarray:
+        """(B,K,256) -> (B,K) leaf word ids in ONE device call."""
+        import jax.numpy as jnp
+        return np.asarray(bow_ops.tree_assign_words_batch(
+            jnp.asarray(desc_b), jnp.asarray(valid_b),
             tuple(jnp.asarray(c) for c in self.level_centers),
             tuple(jnp.asarray(v) for v in self.level_valid),
             self.k,
@@ -580,6 +598,46 @@ class BowDatabase:
     # ------------------------------------------------------------------
     def compute_words(self, desc_i8: np.ndarray, valid: np.ndarray) -> np.ndarray:
         return self.vocab.assign(desc_i8, valid)
+
+    def compute_words_batch(self, desc_b: np.ndarray,
+                            valid_b: np.ndarray) -> np.ndarray:
+        """Batch word assignment for B keyframes in one device call, padded
+        to a power-of-2 batch bucket so shape compiles are bounded."""
+        B = desc_b.shape[0]
+        cap = 1 << int(np.ceil(np.log2(max(B, 1))))
+        if cap != B:
+            desc_b = np.concatenate(
+                [desc_b, np.zeros((cap - B,) + desc_b.shape[1:],
+                                  desc_b.dtype)])
+            valid_b = np.concatenate(
+                [valid_b, np.zeros((cap - B,) + valid_b.shape[1:], bool)])
+        return self.vocab.assign_batch(desc_b, valid_b)[:B]
+
+    def bow_vecs_batch(self, words_b: np.ndarray) -> np.ndarray:
+        """tf-idf vectors for B keyframes in ONE device call (per-KF
+        bow_vector was a link round trip each); batch padded to a
+        power-of-2 bucket.  Pure compute — safe to call with no lock."""
+        import jax.numpy as jnp
+        B = words_b.shape[0]
+        if B == 0:
+            return np.zeros((0, self.vocab.num_words), np.float32)
+        cap = 1 << int(np.ceil(np.log2(max(B, 1))))
+        wb = words_b
+        if cap != B:
+            wb = np.concatenate(
+                [wb, np.full((cap - B,) + wb.shape[1:], -1, wb.dtype)])
+        return np.asarray(bow_ops.bow_vector_batch(
+            jnp.asarray(wb), jnp.asarray(self.vocab.idf),
+            self.vocab.num_words))[:B]
+
+    def add_keyframes_batch(self, kfs: list, words_b: np.ndarray,
+                            vecs_b: np.ndarray):
+        """Dictionary/posting inserts only (host, O(words)) — callers
+        precompute vecs_b via bow_vecs_batch outside the map lock."""
+        for kf, w, v in zip(kfs, words_b, vecs_b):
+            self.kf_words[kf] = w
+            self.kf_bow[kf] = v
+            self.inverted.add(kf, np.unique(w[w >= 0]))
 
     def gate_words(self, words: np.ndarray) -> np.ndarray:
         """Ids to use in match gates (word_gate): leaf words for a flat

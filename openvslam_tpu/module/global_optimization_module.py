@@ -67,6 +67,8 @@ class GlobalOptimizationModule:
         self._loop_wake = __import__("threading").Event()
         self._loop_stop = False
         self.loop_checks_run = 0
+        self.loop_cands_seen = 0
+        self.loop_validations = 0
         self.loop_stale_discards = 0
         nl = cfg.feature.num_levels
         sf = cfg.feature.scale_factor
@@ -81,22 +83,40 @@ class GlobalOptimizationModule:
         optimization module is its own std::thread, SURVEY §3.4 — loop
         validation/correction must not ride in the mapping stage, where it
         backs up the keyframe queue and, through feed backpressure, stalls
-        tracking for seconds: CITY_BENCH_TPU6 p99 2.07 s / max 34.7 s)."""
-        db = self.db
-        # drop BoW entries of keyframes culled since the last call
-        for k in [k for k in self.bow_db.kf_words if not db.kf_valid[k]]:
-            self.bow_db.remove_keyframe(k)
-        words = self.bow_db.compute_words(db.kf_desc_i8[kf], db.kf_kpt_valid[kf])
-        self.bow_db.add_keyframe(kf, words)
+        tracking for seconds: CITY_BENCH_TPU6 p99 2.07 s / max 34.7 s).
+
+        BoW registration rides WITH the keyframe, not ahead of it: in async
+        mode the worker registers each dequeued keyframe itself, in
+        processing order (ref parity: the reference's loop detector adds
+        keyframes to the BoW database on its own thread).  Registering in
+        the mapping stage while the worker lags put NEWER same-place
+        keyframes into the database before kf's own detection ran; their
+        huge shared-word counts raised the 0.8*max_shared gate past every
+        genuine old candidate and the 4,000-frame city run closed ZERO
+        loops (CITY_BENCH_TPU8 first attempt) where the synchronous r4
+        pipeline closed one."""
         self._prewarm_growth()
-        if not self.loop_enabled:
-            return
         if self._loop_thread is not None:
             with self._loop_qlock:
                 self._loop_queue.append(kf)
             self._loop_wake.set()
             return
+        self._register_bow(kf)
+        if not self.loop_enabled:
+            return
         self._loop_check(kf)
+
+    def _register_bow(self, kf: int):
+        """Register kf in the BoW database (caller holds the map lock in
+        sync mode; the worker takes it in async mode) and drop entries of
+        keyframes culled since the last call."""
+        db = self.db
+        for k in [k for k in self.bow_db.kf_words if not db.kf_valid[k]]:
+            self.bow_db.remove_keyframe(k)
+        if kf in self.bow_db.kf_words:
+            return   # already registered (snapshot() registers on demand)
+        words = self.bow_db.compute_words(db.kf_desc_i8[kf], db.kf_kpt_valid[kf])
+        self.bow_db.add_keyframe(kf, words)
 
     # ------------------------------------------------------------------
     # loop worker thread (async mode)
@@ -134,11 +154,52 @@ class GlobalOptimizationModule:
                     if self._loop_stop:
                         return
                     continue
-                kf = self._loop_queue.pop(0)
+                # drain the WHOLE backlog: BoW registration for the batch
+                # is one device call instead of one per keyframe (the r4
+                # per-KF assignment cost ~0.5 s/KF through the tunnel)
+                pending = self._loop_queue[:]
+                self._loop_queue.clear()
             try:
-                self._loop_check(kf)
+                self._register_pending(pending)
             except Exception:
-                _log.exception("loop worker: check for keyframe %d failed", kf)
+                _log.exception("loop worker: batch BoW registration failed")
+            for kf in pending:
+                try:
+                    self._loop_check(kf)
+                except Exception:
+                    _log.exception(
+                        "loop worker: check for keyframe %d failed", kf)
+
+    def _register_pending(self, pending: list):
+        """Batch-register pending keyframes in the BoW database (worker
+        side, processing order): descriptors snapshotted under the lock,
+        ONE batched vocabulary device call outside it, dictionary inserts
+        back under it."""
+        import contextlib
+        lock = (self.map_lock if self.map_lock is not None
+                else contextlib.nullcontext())
+        db = self.db
+        with lock:
+            todo = [k for k in pending
+                    if self._kf_ok(k) and k not in self.bow_db.kf_words]
+            if todo:
+                desc_b = np.stack([db.kf_desc_i8[k] for k in todo])
+                valid_b = np.stack([db.kf_kpt_valid[k] for k in todo])
+        if not todo:
+            return
+        words_b = self.bow_db.compute_words_batch(desc_b, valid_b)
+        vecs_b = self.bow_db.bow_vecs_batch(words_b)
+        with lock:
+            for k in [k for k in self.bow_db.kf_words
+                      if not db.kf_valid[k]]:
+                self.bow_db.remove_keyframe(k)
+            sel = [i for i, k in enumerate(todo)
+                   if self._kf_ok(k) and k not in self.bow_db.kf_words]
+            self.bow_db.add_keyframes_batch(
+                [todo[i] for i in sel], words_b[sel], vecs_b[sel])
+
+    def _registered(self, kf: int) -> bool:
+        return kf in self.bow_db.kf_words
 
     def _kf_ok(self, kf: int) -> bool:
         db = self.db
@@ -155,6 +216,11 @@ class GlobalOptimizationModule:
         import contextlib
         lock = (self.map_lock if self.map_lock is not None
                 else contextlib.nullcontext())
+        on_worker = self._loop_thread is not None
+        if on_worker and not self._registered(kf):
+            return
+        if on_worker and not self.loop_enabled:
+            return
         if kf - self.last_loop_kf < 10:   # cooldown (ref: 10 KFs)
             return
         with lock:
@@ -162,12 +228,26 @@ class GlobalOptimizationModule:
                 return
             candidates = self.loop_detector.detect(kf)
         self.loop_checks_run += 1
-        for cand in candidates:
+        if not candidates:
+            return
+        self.loop_cands_seen += len(candidates)
+        _log.info("loop candidates for keyframe %d: %s", kf, candidates)
+        # snapshot every candidate pair under ONE lock acquisition, then
+        # run the first validation stage for all of them in ONE device
+        # call — perceptual aliasing makes candidates frequent (city: 180
+        # of 190 checked KFs) and a link round trip per candidate drowned
+        # the worker ~200 KFs behind the mapper
+        with lock:
+            pairs = [(c, self.loop_detector.snapshot(kf, c))
+                     for c in candidates
+                     if self._kf_ok(kf) and self._kf_ok(c)]
+        if not pairs:
+            return
+        counts = self.loop_detector.prefilter_counts([s for _, s in pairs])
+        for (cand, snap), n_first in zip(pairs, counts):
             self.loop_events.append(("cand", kf, cand))
-            with lock:
-                if not (self._kf_ok(kf) and self._kf_ok(cand)):
-                    continue
-                snap = self.loop_detector.snapshot(kf, cand)
+            if n_first < self.cfg.loop.min_num_bow_matches:
+                continue
             # full inlier gate (ref: ~min_num_valid_obs after the transform
             # optimization); reachable because validation widens the BoW
             # matches with the Sim3-warped projection search
@@ -177,6 +257,7 @@ class GlobalOptimizationModule:
             if out is None:
                 continue
             self.loop_events.append(("valid", kf, cand))
+            self.loop_validations += 1
             R, t, s, mk, mc, lms_k, lms_c = out
             _log.info("loop detected: keyframe %d <-> %d (scale %.3f); "
                       "correcting", kf, cand, float(s))

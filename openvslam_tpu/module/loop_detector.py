@@ -16,6 +16,29 @@ from ..ops import match as M
 from ..ops import ransac, solvers
 from ..optimize.sim3_transform import make_sim3_transform_optimizer
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist",))
+def _batch_first_stage_counts(bits_k, has_k, words_k,
+                              bits_cs, has_cs, words_cs,
+                              max_dist: int):
+    """First validation stage for ALL candidates of one keyframe in ONE
+    device call: word-gated cross-checked matching of kf against each
+    candidate, returning per-candidate match counts.  Perceptual aliasing
+    makes the BoW stage candidate-happy (city run: candidates on 180 of
+    190 checked keyframes); paying one link round trip per candidate
+    drowned the loop worker ~200 keyframes behind the mapper.  The gate is
+    built in-kernel from the word ids ((C,M) int32 upload, not the (C,N,M)
+    bool gate)."""
+    def one(bits_c, has_c, words_c):
+        gate = bow_ops.word_gate(words_k, words_c)
+        idx, _ = M.match_descriptors(
+            bits_k, bits_c, has_k, has_c, gate=gate,
+            max_dist=max_dist, ratio=0.9, cross_check=True)
+        return jnp.sum(idx >= 0)
+    return jax.vmap(one)(bits_cs, has_cs, words_cs)
+
 
 class LoopDetector:
     def __init__(self, cfg, cam, map_db, bow_db, fix_scale: bool = False):
@@ -37,8 +60,15 @@ class LoopDetector:
         if not covis:
             self.cont_groups = []
             return []
-        min_score = min(self.bow_db.score(kf, c) for c in covis
-                        if c in self.bow_db.kf_bow)
+        scores = [self.bow_db.score(kf, c) for c in covis
+                  if c in self.bow_db.kf_bow]
+        if not scores:
+            # none of kf's covisibles are registered yet (worker-side BoW
+            # registration lags covis updates by the queue depth) — no
+            # reference score to gate against this round
+            self.cont_groups = []
+            return []
+        min_score = min(scores)
         connected = set(covis) | {kf}
         cands = self.bow_db.acquire_loop_candidates(kf, min_score, connected)
         if not cands:
@@ -97,6 +127,36 @@ class LoopDetector:
         Convenience wrapper: snapshot + validate_snapshot in one call (the
         async loop worker splits them around the map lock)."""
         return self.validate_snapshot(self.snapshot(kf, cand), min_inliers)
+
+    def prefilter_counts(self, snaps: List[dict]) -> np.ndarray:
+        """First-stage match counts for a batch of (kf, cand) snapshots of
+        the SAME kf, in one device call — exactly the count that
+        validate_snapshot gates on min_num_bow_matches, so candidates that
+        fail here would fail there; only survivors pay the full per-pair
+        validation.  Candidate axis padded to a power-of-2 bucket."""
+        if not snaps:
+            return np.zeros(0, np.int32)
+        sk = snaps[0]["k"]
+        bits_k = sk["desc"]
+        has_k = sk["lmok"] & sk["kpt_valid"]
+        words_k = sk["words"]
+        C = len(snaps)
+        cap = 1 << int(np.ceil(np.log2(max(C, 1))))
+        shp = snaps[0]["c"]["desc"].shape
+        bits_cs = np.zeros((cap,) + shp, snaps[0]["c"]["desc"].dtype)
+        has_cs = np.zeros((cap, shp[0]), bool)
+        words_cs = np.full((cap, len(words_k)), -1,
+                           np.asarray(words_k).dtype)
+        for i, s in enumerate(snaps):
+            sc = s["c"]
+            bits_cs[i] = sc["desc"]
+            has_cs[i] = sc["lmok"] & sc["kpt_valid"]
+            words_cs[i] = sc["words"]
+        counts = _batch_first_stage_counts(
+            jnp.asarray(bits_k), jnp.asarray(has_k), jnp.asarray(words_k),
+            jnp.asarray(bits_cs), jnp.asarray(has_cs),
+            jnp.asarray(words_cs), M.HAMMING_DIST_THR_LOW)
+        return np.asarray(counts)[:C]
 
     def validate_snapshot(self, snap: dict, min_inliers: int = 20):
         sk, sc = snap["k"], snap["c"]

@@ -202,10 +202,18 @@ class MappingModule:
             t = _time.perf_counter()
             self._run_local_ba(kf)      # takes/releases the lock internally
             self._phase("local_ba", t)
+        # keyframe redundancy: snapshot under the lock, histogram pass
+        # unlocked, erase under the lock (r5: the inline variant held the
+        # lock for its full 380 ms/KF host pass — 208 s on the city run)
+        t = _time.perf_counter()
         with lock:
-            t = _time.perf_counter()
-            self.remove_redundant_keyframes(kf)
-            self._phase("cull_kfs", t)
+            snap = self.snapshot_redundant_kfs(kf)
+        if snap is not None:
+            victims = self.compute_redundant_kfs(snap)
+            with lock:
+                self.apply_redundant_kfs(snap, victims)
+        self._phase("cull_kfs", t)
+        with lock:
             _log.debug(
                 "keyframe %d processed: landmarks %d -> %d, local BA %s",
                 kf, n_lm0, len(self.db.valid_lm_ids()),
@@ -240,6 +248,19 @@ class MappingModule:
         )
         cand = np.where(has & (frame.bearing[:, 2] > 1e-6))[0]
         budget = self.cfg.mapping.seed_cell_budget
+        # danger bypass (r5 A/B): with budget 8 the city run starved its
+        # leading edge and lost tracking at frame ~910 (18 inliers); when
+        # the keyframe tracks fewer than seed_close_floor CLOSE landmarks,
+        # seed uncapped — the reference's seed-while-<100-close rule as a
+        # safety floor under the cell gate.
+        if budget > 0 and len(cand):
+            tracked_idx = np.where(db.kf_lm_idx[kf] >= 0)[0]
+            close_tracked = int(
+                ((frame.depth[tracked_idx] > 0)
+                 & (frame.depth[tracked_idx] < thr)).sum()
+            ) if len(tracked_idx) else 0
+            if close_tracked < self.cfg.mapping.seed_close_floor:
+                budget = 0
         if budget > 0 and len(cand):
             gr, gc = self.cfg.mapping.seed_grid
             ch = self.cam.rows / gr
@@ -706,38 +727,80 @@ class MappingModule:
         >=3 other keyframes at the same or finer scale.  Vectorized: one pass
         over the flat observation table builds a per-landmark histogram of
         observation levels; each candidate's "seen better elsewhere" counts
-        are then cumulative-histogram lookups (was a triple Python loop)."""
+        are then cumulative-histogram lookups (was a triple Python loop).
+
+        Inline variant (sync mode / direct calls): holds whatever lock the
+        caller holds.  The async pipeline uses snapshot_redundant_kfs /
+        compute_redundant_kfs / apply_redundant_kfs instead so the
+        histogram pass runs WITHOUT the map lock (r5: 208 s of lock-held
+        host work on the 4,000-frame city run — a top track-stall source)."""
+        snap = self.snapshot_redundant_kfs(cur_kf)
+        if snap is None:
+            return
+        victims = self.compute_redundant_kfs(snap)
+        self.apply_redundant_kfs(snap, victims)
+
+    def snapshot_redundant_kfs(self, cur_kf: int):
+        """Copy what the redundancy pass reads (caller holds the lock)."""
         db = self.db
         cands = [k for k in db.get_top_covisible(cur_kf, 30)
                  if k != db.origin_kf and k != cur_kf and db.kf_valid[k]]
         if not cands:
-            return
+            return None
+        return {
+            "geom_version": db.geom_version,
+            "cands": cands,
+            "obs_lm": db.obs_lm[: db.n_obs_rows].copy(),
+            "obs_level": db.obs_level[: db.n_obs_rows].copy(),
+            "n_lms": db.n_lms,
+            "lm_valid": db.lm_valid.copy(),
+            "kf_lm_idx": {k: db.kf_lm_idx[k].copy() for k in cands},
+            "kf_level": {k: db.kf_level[k].copy() for k in cands},
+        }
+
+    def compute_redundant_kfs(self, snap) -> list:
+        """Pure host compute on the snapshot — no lock, no db access."""
         NLV = max(self.num_levels + 2, 2)
-        hist = None
-        for k in cands:
-            if not db.kf_valid[k]:
-                continue
-            if hist is None:
-                t_lm = db.obs_lm[: db.n_obs_rows]
-                t_lvl = np.clip(db.obs_level[: db.n_obs_rows], 0, NLV - 1)
-                live = t_lm >= 0
-                flat = np.bincount(
-                    t_lm[live].astype(np.int64) * NLV + t_lvl[live],
-                    minlength=db.n_lms * NLV)
-                hist = np.cumsum(
-                    flat.reshape(db.n_lms, NLV), axis=1)   # cum over levels
-            arr = db.kf_lm_idx[k]
+        t_lm = snap["obs_lm"]
+        t_lvl = np.clip(snap["obs_level"], 0, NLV - 1)
+        live = t_lm >= 0
+        flat = np.bincount(
+            t_lm[live].astype(np.int64) * NLV + t_lvl[live],
+            minlength=snap["n_lms"] * NLV)
+        hist = np.cumsum(
+            flat.reshape(snap["n_lms"], NLV), axis=1)   # cum over levels
+        victims = []
+        # histogram staleness across multiple victims is acceptable here:
+        # the apply step erases at most one keyframe per snapshot (the
+        # inline variant rebuilt the histogram after every erase; erasing
+        # one per mapping iteration converges to the same set a few KFs
+        # later and keeps the locked apply O(1))
+        for k in snap["cands"]:
+            arr = snap["kf_lm_idx"][k]
             kpts = np.where(arr >= 0)[0]
             if len(kpts) < 10:
                 continue
             lms = arr[kpts]
-            ok_lm = db.lm_valid[lms]
-            my_level = np.clip(db.kf_level[k][kpts].astype(np.int64) + 1,
+            ok_lm = snap["lm_valid"][lms]
+            my_level = np.clip(snap["kf_level"][k][kpts].astype(np.int64) + 1,
                                0, NLV - 1)
             # observations at level <= my_level+1 excluding this KF's own
             n_better = hist[lms, my_level] - 1
             n_redundant = int(((n_better >= 3) & ok_lm).sum())
             if n_redundant > self.cfg.mapping.redundant_obs_ratio_thr * len(kpts):
+                victims.append(k)
+                break
+        return victims
+
+    def apply_redundant_kfs(self, snap, victims: list):
+        """Erase the computed victims (caller holds the lock).  Discard if a
+        whole-map geometry rewrite landed since the snapshot (versioned
+        application, same discipline as triangulate/fuse/local-BA)."""
+        db = self.db
+        if db.geom_version != snap["geom_version"]:
+            self.stale_discards += 1
+            return
+        for k in victims:
+            if db.kf_valid[k]:
                 db.erase_keyframe(k)
                 self.kfs_culled += 1
-                hist = None          # observations changed: rebuild lazily

@@ -64,6 +64,19 @@ def word_gate(words_a: jnp.ndarray, words_b: jnp.ndarray) -> jnp.ndarray:
     return (words_a[:, None] == words_b[None, :]) & (words_a >= 0)[:, None]
 
 
+assign_words_batch = jax.jit(jax.vmap(assign_words, in_axes=(0, None, 0)))
+"""(B,K,256) descriptors -> (B,K) word ids in ONE device call (loop-worker
+batch registration: per-keyframe assignment paid one link round trip each —
+~0.5 s/KF through the tunnel, 255 s on the 4,000-frame city run)."""
+
+
+@functools.partial(jax.jit, static_argnames=("num_words",))
+def bow_vector_batch(word_ids_b: jnp.ndarray, idf: jnp.ndarray,
+                     num_words: int) -> jnp.ndarray:
+    """(B,K) word ids -> (B,W) tf-idf vectors in one call."""
+    return jax.vmap(lambda w: bow_vector(w, idf, num_words))(word_ids_b)
+
+
 # ---------------------------------------------------------------------------
 # Hierarchical (DBoW2-style) vocabulary tree.
 #
@@ -104,6 +117,16 @@ def tree_assign_words(desc_i8: jnp.ndarray, valid: jnp.ndarray,
         j = jnp.argmin(dist, -1).astype(jnp.int32)
         node = node * k + j
     return jnp.where(valid, node, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def tree_assign_words_batch(desc_b: jnp.ndarray, valid_b: jnp.ndarray,
+                            level_centers: tuple, level_valid: tuple,
+                            k: int) -> jnp.ndarray:
+    """(B,K,256) descriptors -> (B,K) leaf word ids in one device call."""
+    return jax.vmap(
+        lambda d, v: tree_assign_words(d, v, level_centers, level_valid, k)
+    )(desc_b, valid_b)
 
 
 def node_at_level(words: jnp.ndarray, k: int, levels: int,

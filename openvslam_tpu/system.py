@@ -748,6 +748,15 @@ class System:
             "loop_stale_discards": (
                 self.global_optimizer.loop_stale_discards
                 if self.global_optimizer is not None else 0),
+            "loop_checks_run": (
+                self.global_optimizer.loop_checks_run
+                if self.global_optimizer is not None else 0),
+            "loop_cands_seen": (
+                self.global_optimizer.loop_cands_seen
+                if self.global_optimizer is not None else 0),
+            "loop_validations": (
+                self.global_optimizer.loop_validations
+                if self.global_optimizer is not None else 0),
             "ba_iters_per_s": (
                 self.mapper.ba_iters_total / self.mapper.ba_wall_s
                 if self.mapper.ba_wall_s > 0 else 0.0),

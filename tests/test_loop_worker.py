@@ -146,6 +146,11 @@ def test_correction_pauses_mapper_and_discards_stale_sim3():
     corrected = []
     go.correct_loop = lambda *a, **k: corrected.append(a)
     go.loop_detector.detect = lambda k: [cand]
+    # the batched first-stage gate would reject the random descriptors
+    # before validate_snapshot is consulted; this test drives the
+    # correction protocol, not the matcher
+    go.loop_detector.prefilter_counts = \
+        lambda snaps: np.full(len(snaps), 999, np.int32)
     go.last_loop_kf = -100        # kf ids are tiny; clear the KF cooldown
 
     ident = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 1.0,

@@ -122,9 +122,16 @@ def main():
     ap.add_argument("--pipeline-depth", type=int, default=1,
                     help=">1 uses feed_sequence with this pipeline depth")
     ap.add_argument("--async-mapping", action="store_true")
-    ap.add_argument("--seed-budget", type=int, default=8,
+    ap.add_argument("--seed-budget", type=int, default=0,
                     help="per-cell depth-seed coverage budget "
-                         "(Mapping.seed_cell_budget; 0 = uncapped)")
+                         "(Mapping.seed_cell_budget; 0 = uncapped). "
+                         "r5 A/B (1200-frame city probes): budget 8 alone "
+                         "LOSES tracking at frame ~910 (leading edge "
+                         "starved); with the seed_close_floor bypass it "
+                         "tracks but cuts churn only 0.897->0.887 while "
+                         "costing ATE 1.20->1.48 m and wall 248->337 s. "
+                         "Capping remains a measured negative; uncapped "
+                         "is the default.")
     ap.add_argument("--cache-dir", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".cache"))
@@ -311,6 +318,9 @@ def main():
         "pace_wait_max_s": st.get("pace_wait_max_s", 0.0),
         "pace_timeouts": st.get("pace_timeouts", 0),
         "loop_stale_discards": st.get("loop_stale_discards", 0),
+        "loop_checks_run": st.get("loop_checks_run", 0),
+        "loop_cands_seen": st.get("loop_cands_seen", 0),
+        "loop_validations": st.get("loop_validations", 0),
     }
     print(json.dumps(report, indent=2))
     if args.out:
