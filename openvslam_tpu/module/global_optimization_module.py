@@ -358,46 +358,60 @@ class GlobalOptimizationModule:
         mapping is paused)."""
         db = self.db
         R, t, s = g_cur_from_cand
+        R = np.asarray(R, np.float64)
+        t = np.asarray(t, np.float64)
+        s = float(s)
+
+        # Host-numpy Sim3 algebra for the propagation: these are 3x3
+        # composes per group keyframe, and the correction runs UNDER the
+        # map lock with the mapper paused — a device round trip per
+        # compose (~60 of them through the tunnel) stretched the locked
+        # window to ~19 s on the city run and tracking stalled for all of
+        # it.  Trivial scalar math belongs on the host.
+        def _comp(a, b):
+            (Ra, ta, sa), (Rb, tb, sb) = a, b
+            return Ra @ Rb, sa * (Ra @ tb) + ta, sa * sb
+
+        def _inv(g):
+            Rg, tg, sg = g
+            si = 1.0 / sg
+            return Rg.T, -si * (Rg.T @ tg), si
 
         # corrected Sim3 pose of current KF: S_cw = S(cur<-cand) * T_cand_w
-        T_cand = db.kf_pose_cw[cand]
-        g_cand = (jnp.asarray(T_cand[:3, :3]), jnp.asarray(T_cand[:3, 3]),
-                  jnp.float32(1.0))
-        g_corr_cur = sim3_ops.compose(
-            (jnp.asarray(R), jnp.asarray(t), jnp.float32(s)), g_cand
-        )
+        T_cand = np.asarray(db.kf_pose_cw[cand], np.float64)
+        g_corr_cur = _comp((R, t, s), (T_cand[:3, :3], T_cand[:3, 3], 1.0))
 
         # propagate through the current covisibility group
         if group is None:
             group = [kf] + db.get_top_covisible(kf, 30)
-        T_cur_old = db.kf_pose_cw[kf].copy()
+        T_cur_old = np.asarray(db.kf_pose_cw[kf], np.float64)
         T_cur_old_inv = np.linalg.inv(T_cur_old)
         corrected: Dict[int, tuple] = {}
         for k2 in group:
-            T_k = db.kf_pose_cw[k2]
+            T_k = np.asarray(db.kf_pose_cw[k2], np.float64)
             rel = T_k @ T_cur_old_inv                      # SE3 k<-cur
-            g_rel = (jnp.asarray(rel[:3, :3]), jnp.asarray(rel[:3, 3]),
-                     jnp.float32(1.0))
-            corrected[k2] = sim3_ops.compose(g_rel, g_corr_cur)
+            corrected[k2] = _comp((rel[:3, :3], rel[:3, 3], 1.0), g_corr_cur)
 
         # correct group landmarks (through their observing KF) + poses
         moved: Set[int] = set()
         for k2 in group:
-            T_old = db.kf_pose_cw[k2].copy()
+            T_old = np.asarray(db.kf_pose_cw[k2], np.float64)
             g_new = corrected[k2]
-            g_new_inv = sim3_ops.inverse(g_new)
+            Ri, ti, si = _inv(g_new)
             arr = db.kf_lm_idx[k2]
             lms = arr[arr >= 0]
             lms = [l for l in lms if db.lm_valid[l] and l not in moved]
             if lms:
-                X = db.lm_pos[np.array(lms)]
+                X = db.lm_pos[np.array(lms)].astype(np.float64)
                 Xc = (T_old[:3, :3] @ X.T).T + T_old[:3, 3]
-                Xw = np.asarray(sim3_ops.transform(g_new_inv, jnp.asarray(Xc, jnp.float32)))
-                db.lm_pos[np.array(lms)] = Xw
+                Xw = si * (Xc @ Ri.T) + ti
+                db.lm_pos[np.array(lms)] = Xw.astype(np.float32)
                 moved.update(int(l) for l in lms)
-            db.kf_pose_cw[k2] = np.asarray(
-                sim3_ops.to_se3(*g_new), np.float32
-            )
+            Rn, tn, sn = g_new
+            Tn = np.eye(4)
+            Tn[:3, :3] = Rn
+            Tn[:3, 3] = tn / sn     # ref Sim3->SE3 rescale
+            db.kf_pose_cw[k2] = Tn.astype(np.float32)
         db.geom_version += 1
 
         # merge the directly matched duplicate landmark pairs
@@ -467,16 +481,25 @@ class GlobalOptimizationModule:
         e_t = np.zeros((E, 3), np.float32)
         e_s = np.ones(E, np.float32)
         e_mask = np.zeros(E, bool)
-        for a, (ka, kb) in enumerate(edges):
-            ia, ib = index[ka], index[kb]
-            # measurement S_ji = S_j * S_i^-1 from current (corrected) poses
+        if edges:
+            # measurement S_ji = S_j * S_i^-1 from current (corrected)
+            # poses, batched (this build runs under the map lock during a
+            # loop correction — a Python loop with a linalg.inv per edge
+            # was seconds of locked host time at city scale)
+            ne = len(edges)
+            ka = np.array([a for a, _ in edges])
+            kb = np.array([b for _, b in edges])
             Ti = db.kf_pose_cw[ka]
             Tj = db.kf_pose_cw[kb]
-            rel = Tj @ np.linalg.inv(Ti)
-            e_i[a], e_j[a] = ia, ib
-            e_R[a] = rel[:3, :3]
-            e_t[a] = rel[:3, 3]
-            e_mask[a] = True
+            Ri, ti = Ti[:, :3, :3], Ti[:, :3, 3]
+            Rj, tj = Tj[:, :3, :3], Tj[:, :3, 3]
+            Rrel = np.einsum("nij,nkj->nik", Rj, Ri)      # Rj @ Ri^T
+            trel = tj - np.einsum("nij,nj->ni", Rrel, ti)
+            e_i[:ne] = [index[int(a)] for a in ka]
+            e_j[:ne] = [index[int(b)] for b in kb]
+            e_R[:ne] = Rrel
+            e_t[:ne] = trel
+            e_mask[:ne] = True
 
         prob = PoseGraphProblem(
             jnp.asarray(Rn), jnp.asarray(tn), jnp.asarray(sn),
