@@ -51,7 +51,7 @@ def main():
     from openvslam_tpu.utils import synthetic
 
     rng = np.random.default_rng(11)
-    BASELINE = 0.12
+    BASELINE = 0.12 if args.scene == "room" else 0.5   # city: KITTI-class
     if args.scene == "room":
         rows, cols = 240, 320
         fx = 260.0
@@ -61,9 +61,15 @@ def main():
             args.frames, radius=6.0, laps=args.laps)
         render = scene.render
     else:
-        rows, cols = 320, 416
-        fx = 350.0
-        course = synthetic.RoundedRectCourse(straight=60.0, corner_r=12.0)
+        # calibrated to the city_bench working point: 240x320/fx 260 and
+        # <=0.4 m/frame (the first r5 cut used 0.58 m/frame at a 0.12 m
+        # baseline and tracking collapsed to 5 keyframes — no PR signal).
+        # Default --frames 500 at laps 2.2 over this 183 m course is
+        # 0.8 m/frame: pass --frames >= 1000 for a meaningful run.
+        rows, cols = 240, 320
+        fx = 260.0
+        course = synthetic.RoundedRectCourse(straight_x=30.0,
+                                             straight_z=30.0, corner_r=10.0)
         scene = synthetic.CityCourseRenderer(rng, course)
         poses_gt = synthetic.course_trajectory(course, args.frames,
                                                laps=args.laps)
